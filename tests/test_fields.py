@@ -1,0 +1,102 @@
+"""Field-arithmetic conformance vs Python-int ground truth.
+
+The reference's L0 is arkworks bigint arithmetic; our oracle here is
+Python's arbitrary-precision integers, which independently pin down the
+same mathematics (add/sub/mul/inv mod p).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from scalable_collaborative_zksnark_tpu.fields.fr import get_field
+
+FIELDS = ["bls12_381_fr", "bls12_377_fr", "bls12_381_fq"]
+
+
+def rand_ints(F, n, seed):
+    rng = np.random.RandomState(seed)
+    return [int.from_bytes(rng.bytes(2 * F.L), "little") % F.p for _ in range(n)]
+
+
+@pytest.mark.parametrize("name", FIELDS)
+def test_ring_ops(name):
+    F = get_field(name)
+    xs = rand_ints(F, 16, 0)
+    ys = rand_ints(F, 16, 1)
+    a, b = F.array_from_ints(xs), F.array_from_ints(ys)
+    add = F.array_to_ints(jax.jit(F.add)(a, b))
+    sub = F.array_to_ints(jax.jit(F.sub)(a, b))
+    mul = F.array_to_ints(jax.jit(F.mul)(a, b))
+    neg = F.array_to_ints(jax.jit(F.neg)(a))
+    for i in range(16):
+        assert add[i] == (xs[i] + ys[i]) % F.p
+        assert sub[i] == (xs[i] - ys[i]) % F.p
+        assert mul[i] == (xs[i] * ys[i]) % F.p
+        assert neg[i] == (-xs[i]) % F.p
+
+
+@pytest.mark.parametrize("name", ["bls12_381_fr"])
+def test_edge_values(name):
+    F = get_field(name)
+    xs = [0, 1, F.p - 1, F.p - 2, 2]
+    a = F.array_from_ints(xs)
+    sq = F.array_to_ints(jax.jit(F.sqr)(a))
+    for i, x in enumerate(xs):
+        assert sq[i] == x * x % F.p
+    s = F.array_to_ints(jax.jit(F.add)(a, a))
+    for i, x in enumerate(xs):
+        assert s[i] == 2 * x % F.p
+    z = F.array_to_ints(jax.jit(F.sub)(a, a))
+    assert all(v == 0 for v in z)
+
+
+@pytest.mark.parametrize("name", ["bls12_381_fr", "bls12_381_fq"])
+def test_inversion(name):
+    F = get_field(name)
+    xs = rand_ints(F, 8, 2)
+    a = F.array_from_ints(xs)
+    inv = F.array_to_ints(jax.jit(F.inv)(a))
+    binv = F.array_to_ints(jax.jit(F.batch_inv)(a))
+    for i in range(8):
+        assert inv[i] == pow(xs[i], -1, F.p)
+        assert binv[i] == pow(xs[i], -1, F.p)
+
+
+def test_batch_inv_zero():
+    F = get_field("bls12_381_fr")
+    xs = [5, 0, 7, 0]
+    a = F.array_from_ints(xs)
+    binv = F.array_to_ints(jax.jit(F.batch_inv)(a))
+    assert binv[0] == pow(5, -1, F.p)
+    assert binv[1] == 0
+    assert binv[2] == pow(7, -1, F.p)
+    assert binv[3] == 0
+
+
+def test_sum_large():
+    F = get_field("bls12_381_fr")
+    # exercises the chunked column accumulation path (> 2^14 terms)
+    n = (1 << 14) + 37
+    r = F.random((n,), seed=9)
+    got = int(F.array_to_ints(jax.jit(lambda x: F.sum(x, axis=0))(r)))
+    vals = F.array_to_ints(r)
+    assert got == sum(int(v) for v in vals) % F.p
+
+
+def test_pow_const():
+    F = get_field("bls12_377_fr")
+    xs = rand_ints(F, 4, 3)
+    a = F.array_from_ints(xs)
+    e = 0x1234567890ABCDEF
+    got = F.array_to_ints(jax.jit(lambda x: F.pow_const(x, e))(a))
+    for i in range(4):
+        assert got[i] == pow(xs[i], e, F.p)
+
+
+def test_encode_decode_random():
+    F = get_field("bls12_381_fr")
+    r = F.random((64,), seed=4)
+    ints = F.array_to_ints(r)
+    back = F.array_from_ints(list(ints))
+    assert np.array_equal(np.asarray(r), np.asarray(back))
