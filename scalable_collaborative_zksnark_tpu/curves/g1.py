@@ -45,6 +45,9 @@ class Curve:
         self.fq = fq
         self.fr = fr
         self.b = b
+        # trace-once caching for the group law (see Field.__init__ note)
+        self.add = jax.jit(self.add)
+        self.double = jax.jit(self.double)
 
     def __hash__(self):
         return hash(self.name)

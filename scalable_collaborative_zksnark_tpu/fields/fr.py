@@ -59,6 +59,12 @@ class Field:
         self._n0inv = np.uint32(spec.n0inv)
         self._r_np = spec.r_limbs
         self._r2_np = spec.r2_limbs
+        # jit the hot ring ops: protocols instantiate these thousands of
+        # times inside combinators (associative_scan retraces its combiner
+        # ~2 log n times) — per-shape trace caching keeps trace time flat.
+        self.add = jax.jit(self.add)
+        self.sub = jax.jit(self.sub)
+        self.mul = jax.jit(self.mul)
 
     # -- identity / hashing (stable for jit caches) ----------------------
     def __hash__(self):

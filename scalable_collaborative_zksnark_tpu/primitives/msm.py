@@ -1,0 +1,211 @@
+"""Multi-scalar multiplication (MSM) on TPU + the distributed d_msm.
+
+The reference's MSM is arkworks' Pippenger (`G::msm`, dmsm.rs:19-24) —
+a serial bucket method with data-dependent indexing that does not map to
+a SIMD machine.  The TPU-native formulation here keeps Pippenger's
+window/bucket *math* but replaces bucket scatter-accumulation with
+**sort + segmented associative scan**:
+
+  per c-bit window:
+    1. digit extraction (vectorized bit slicing of standard-form limbs);
+    2. sort point indices by digit (XLA bitonic sort, TPU-friendly);
+    3. segmented inclusive scan with the group law as combiner
+       (`lax.associative_scan` — O(n) point-adds at log depth);
+    4. the last element of each digit-segment is that bucket's sum; a
+       masked scatter (collisions only ever target the ignored 0-bucket)
+       lands them in a [2^c] bucket table;
+    5. bucket aggregation sum_k k*B_k via a reversed suffix scan;
+  windows run under one `lax.scan`, combined Horner-style (c doublings
+  per window).
+
+Everything is branch-free and static-shaped; the only value-dependent
+data movement is the sort.
+
+`d_msm` (dmsm.rs:9-43): each party runs a local MSM over its share
+vectors; the reference then leader-gathers, unpack2s each batch column,
+sums the l secrets and re-packs (dmsm.rs:29-40).  That leader map is the
+*rank-1* linear map (pack∘replicate∘sum∘unpack2) = q ⊗ w over the party
+axis, so we evaluate it as two small fixed-scalar combinations — the
+reference's leader MSM hotspot (48-494 ms rounds in its trace) becomes
+two batched device ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.g1 import Curve, PointJ
+from ..fields.config import LIMB_BITS
+from ..mpc.net import PartyNet
+from ..pss.pss import PackedSharingParams
+
+
+def _digit(scalars_std: jnp.ndarray, c: int, w: jnp.ndarray) -> jnp.ndarray:
+    """Window-w base-2^c digit of each scalar ([N, L] uint32 -> [N])."""
+    bitpos = w * c
+    limb = bitpos // LIMB_BITS
+    off = bitpos % LIMB_BITS
+    L = scalars_std.shape[-1]
+    lo = jnp.take(scalars_std, jnp.minimum(limb, L - 1), axis=-1)
+    hi = jnp.where(
+        limb + 1 < L, jnp.take(scalars_std, jnp.minimum(limb + 1, L - 1), axis=-1), 0
+    )
+    val = (lo >> off) | jnp.where(off > 0, hi << (LIMB_BITS - off), 0)
+    return val & jnp.uint32((1 << c) - 1)
+
+
+def _seg_scan_last(curve: Curve, seg: jnp.ndarray, pts: PointJ) -> PointJ:
+    """Inclusive segmented point-sum scan (Hillis-Steele).
+
+    Returns scanned points where the last element of each equal-``seg``
+    run holds that segment's sum.  Expressed as a single fori_loop whose
+    body contains ONE group add (kept deliberately small: XLA compile
+    time of the limb-arithmetic graphs is the binding constraint; the
+    n log n vs n work trade is a good one on a machine with 8x128 lanes).
+    """
+    n = seg.shape[0]
+    steps = max((n - 1).bit_length(), 1)
+    idx = jnp.arange(n)
+
+    def body(k, carry):
+        s, p = carry
+        sh = jnp.int32(1) << k
+        p_sh = jax.tree.map(lambda a: jnp.roll(a, sh, axis=0), p)
+        s_sh = jnp.roll(seg, sh, axis=0)  # original seg ids suffice
+        ok = jnp.logical_and(idx >= sh, s_sh == seg)
+        combined = curve.add(p, p_sh)
+        return s, curve.select(ok, combined, p)
+
+    _, out = jax.lax.fori_loop(0, steps, body, (seg, pts))
+    return out
+
+
+def _prefix_sum_points(curve: Curve, pts: PointJ) -> PointJ:
+    """Plain inclusive prefix point-sum (Hillis-Steele, one add in body)."""
+    n = pts.x.shape[0]
+    steps = max((n - 1).bit_length(), 1)
+    idx = jnp.arange(n)
+
+    def body(k, p):
+        sh = jnp.int32(1) << k
+        p_sh = jax.tree.map(lambda a: jnp.roll(a, sh, axis=0), p)
+        ok = idx >= sh
+        return curve.select(ok, curve.add(p, p_sh), p)
+
+    return jax.lax.fori_loop(0, steps, body, pts)
+
+
+def _msm_1d(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int) -> PointJ:
+    """MSM for unbatched inputs: points [N], scalars [N, L] standard form."""
+    nbits = scalars_std.shape[-1] * LIMB_BITS
+    n_windows = (nbits + c - 1) // c
+    N = scalars_std.shape[0]
+    nb = 1 << c
+
+    def window(acc, w):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.double(a), acc)
+        d = _digit(scalars_std, c, w)  # [N]
+        order = jnp.argsort(d)
+        ds = d[order]
+        pts = jax.tree.map(lambda a: a[order], points)
+        scanned = _seg_scan_last(curve, ds, pts)
+        nxt = jnp.concatenate([ds[1:], jnp.full_like(ds[:1], nb)], 0)
+        is_last = ds != nxt
+        # route non-last entries (and digit-0 segments) to the ignored 0-bucket
+        idx = jnp.where(is_last, ds, 0)
+        inf_n = curve.infinity((N,))
+        binit = curve.infinity((nb,))
+
+        def scat(bz, s, infv):
+            return bz.at[idx, :].set(jnp.where(is_last[:, None], s, infv))
+
+        buckets = PointJ(
+            scat(binit.x, scanned.x, inf_n.x),
+            scat(binit.y, scanned.y, inf_n.y),
+            scat(binit.z, scanned.z, inf_n.z),
+        )
+        # aggregation  sum_{k>=1} k * B_k:
+        #   suffix sums S_j = sum_{k>=j} B_k  (reverse prefix scan),
+        #   then G_w = sum_{j>=1} S_j          (prefix scan, last entry).
+        tail = jax.tree.map(lambda a: jnp.flip(a[1:], axis=0), buckets)
+        suffix = _prefix_sum_points(curve, tail)  # suffix[j] = S_{nb-1-j}
+        total = _prefix_sum_points(curve, suffix)
+        g_w = jax.tree.map(lambda a: a[-1], total)
+        return curve.add(acc, g_w), None
+
+    acc0 = curve.infinity(())
+    ws = jnp.arange(n_windows - 1, -1, -1, dtype=jnp.uint32)
+    out, _ = jax.lax.scan(window, acc0, ws)
+    return out
+
+
+def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8) -> PointJ:
+    """Batched MSM: points [..., N], scalars [..., N, L] (standard form).
+
+    Returns PointJ [...]. Batch dims are vmapped; each instance runs the
+    sort+scan Pippenger above.
+    """
+    batch = scalars_std.shape[:-2]
+    f = lambda p, s: _msm_1d(curve, p, s, c)
+    for _ in batch:
+        f = jax.vmap(f)
+    return f(points, scalars_std)
+
+
+def msm_naive(curve: Curve, points: PointJ, scalars_std: jnp.ndarray) -> PointJ:
+    """Oracle-grade tiny MSM: per-point scalar_mul then tree sum."""
+    prods = curve.scalar_mul(points, scalars_std)
+    return curve.sum(prods, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Distributed MSM on shares (dmsm.rs:9-43)
+# ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=None)
+def _dmsm_reduce_vectors(pp: PackedSharingParams):
+    """(w [1, n], q [n, 1]) int matrices of the fused leader map.
+
+    leader(x)[j] = pack(replicate_l(sum_l(unpack2(x))))[j] = q[j] * (w·x)
+    with w = column sums of the unpack2 matrix, q = pack @ ones_l.
+    """
+    p = pp.field.p
+    U2 = pp.unpack2_matrix()  # [l, n]
+    P = pp.pack_matrix()  # [n, l]
+    w = np.empty((1, pp.n), dtype=object)
+    for j in range(pp.n):
+        w[0, j] = sum(int(U2[i, j]) for i in range(pp.l)) % p
+    q = np.empty((pp.n, 1), dtype=object)
+    for j in range(pp.n):
+        q[j, 0] = sum(int(P[j, i]) for i in range(pp.l)) % p
+    return w, q
+
+
+def d_msm(
+    curve: Curve,
+    pp: PackedSharingParams,
+    net: PartyNet,
+    bases: PointJ,
+    scalars_std: jnp.ndarray,
+    c: int = 8,
+) -> PointJ:
+    """Batched distributed MSM on PSS shares.
+
+    ``bases``: PointJ [P, B, M] (per party: B batch entries of M share
+    points); ``scalars_std``: [P, B, M, L] standard-form share scalars.
+    Returns PointJ [P, B] — fresh degree-(t+l) shares whose every secret
+    slot equals the true MSM result (dmsm.rs:35 replicates the output
+    into all l slots before re-packing).
+    """
+    local = msm(curve, bases, scalars_std, c=c)  # [P, B]
+    B = local.x.shape[-2]
+    g = net.gather_to_root(local, "g1", count=B, vec=True)  # [N, B]
+    w, q = _dmsm_reduce_vectors(pp)
+    gt = jax.tree.map(lambda a: jnp.moveaxis(a, 0, -2), g)  # [B, N]
+    t = curve.linear_map(w, gt)  # [B, 1]
+    out = curve.linear_map(q, t)  # [B, n]
+    out = jax.tree.map(lambda a: jnp.moveaxis(a, -2, 0), out)  # [n, B]
+    return net.scatter_from_root(out, "g1", count=B, vec=True)

@@ -16,3 +16,8 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the limb-arithmetic graphs are expensive for
+# CPU XLA to compile; cache them across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/sczk_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,0 +1,69 @@
+"""MSM conformance vs the host oracle (dmsm.rs tests).
+
+- msm vs naive ground truth incl. zero/one scalars (G1::msm oracle,
+  dmsm.rs:109);
+- d_msm on packed shares: unpack of the output shares equals the true
+  MSM in every secret slot (dmsm.rs pack_unpack2_test semantics + the
+  leader repack of dmsm.rs:29-40).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scalable_collaborative_zksnark_tpu.curves import host_curve as hc
+from scalable_collaborative_zksnark_tpu.curves.g1 import bls12_381_g1
+from scalable_collaborative_zksnark_tpu.fields.config import int_to_limbs
+from scalable_collaborative_zksnark_tpu.fields.fr import get_field
+from scalable_collaborative_zksnark_tpu.mpc.net import PartyNet
+from scalable_collaborative_zksnark_tpu.primitives.msm import d_msm, msm
+from scalable_collaborative_zksnark_tpu.pss.pss import PackedSharingParams
+
+C = bls12_381_g1()
+Fr = get_field("bls12_381_fr")
+
+
+def host_msm(pts, scalars):
+    acc = None
+    for q, s in zip(pts, scalars):
+        acc = hc.g1_add(acc, hc.g1_mul(q, s))
+    return acc
+
+
+@pytest.mark.parametrize("c", [4, 8])
+def test_msm_matches_oracle(c):
+    rng = np.random.RandomState(1)
+    n = 16
+    ks = [int.from_bytes(rng.bytes(31), "little") % hc.R for _ in range(n)]
+    ss = [int.from_bytes(rng.bytes(33), "little") % hc.R for _ in range(n)]
+    ss[0], ss[1] = 0, 1  # edge scalars
+    pts = [hc.g1_mul(hc.G1_GEN, k) for k in ks]
+    P = C.from_affine_ints(pts)
+    sarr = jnp.asarray(np.stack([int_to_limbs(s, Fr.L) for s in ss]))
+    r = jax.jit(lambda p, s: msm(C, p, s, c=c))(P, sarr)
+    got = C.to_affine_ints(jax.tree.map(lambda a: a[None], r))[0]
+    assert got == host_msm(pts, ss)
+
+
+def test_d_msm_on_shares():
+    l, M = 2, 8
+    pp = PackedSharingParams(Fr, l)
+    net = PartyNet(8 * l)
+    rng = np.random.RandomState(3)
+    ks = [int.from_bytes(rng.bytes(31), "little") % hc.R for _ in range(M)]
+    fs = [int.from_bytes(rng.bytes(31), "little") % hc.R for _ in range(M)]
+    pts = [hc.g1_mul(hc.G1_GEN, k) for k in ks]
+    expect = host_msm(pts, fs)
+
+    P = C.from_affine_ints(pts)
+    Pc = jax.tree.map(lambda a: a.reshape(M // l, l, -1), P)
+    Psh = pp.pack_from_public_group(C, Pc)  # [M/l, n]
+    fsh = pp.pack_from_public(Fr.array_from_ints(fs).reshape(M // l, l, Fr.L))
+    bases = jax.tree.map(lambda a: jnp.moveaxis(a, -2, 0)[:, None], Psh)  # [n,1,M/l]
+    scal_std = Fr.decode(jnp.moveaxis(fsh, -2, 0)[:, None])
+    res = d_msm(C, pp, net, bases, scal_std, c=4)  # [n, 1]
+    secrets = pp.unpack_group(C, jax.tree.map(lambda a: jnp.moveaxis(a[:, 0], 0, -2), res))
+    assert C.to_affine_ints(secrets) == [expect] * l
+    # one leader round: gather + scatter
+    assert net.rounds == 2
