@@ -150,9 +150,12 @@ def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8) -> P
     sort+scan Pippenger above.
     """
     batch = scalars_std.shape[:-2]
+    pts_batch_rank = points.x.ndim - 2  # [batch..., N, L]
     f = lambda p, s: _msm_1d(curve, p, s, c)
-    for _ in batch:
-        f = jax.vmap(f)
+    # inner vmaps map both; leading extra scalar batch dims broadcast points
+    for i in range(len(batch)):
+        shared = len(batch) - 1 - i < pts_batch_rank
+        f = jax.vmap(f, in_axes=(0 if shared else None, 0))
     return f(points, scalars_std)
 
 
