@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: collaborative HyperPlonk per-party prove time.
+
+Runs the flagship ``dhyperplonk`` prover in ``leader`` execution mode —
+one party's full compute materialized plus analytic communication
+accounting, exactly the reference's `leader` feature benchmark mode
+(/root/reference/README.md:28-33, serializing_net.rs:144-264) — on the
+available accelerator, and prints ONE JSON line:
+
+    {"metric": ..., "value": <seconds>, "unit": "s", "vs_baseline": ...}
+
+Baseline: the reference's only recorded run (BASELINE.md) reports
+93.218 s for all N parties serialized on one thread, i.e. ≈ 93.218/N
+per party (README.md:33).  With the BASELINE.json flagship config
+(l = 8, N = 64) that is 1.457 s per party.  ``vs_baseline`` is
+baseline/ours, so > 1 means faster than the reference.
+
+Usage: python bench.py [--n 16] [--l 8] [--smoke] [--repeat 2]
+  --smoke: tiny sizes on CPU (CI sanity), not a performance claim.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=16, help="log2 gate count")
+    ap.add_argument("--l", type=int, default=8, help="packing factor (N = 8l)")
+    ap.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+
+    if args.smoke:
+        import os
+
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.n, args.l = 4, 1
+    import jax
+
+    from scalable_collaborative_zksnark_tpu.hyperplonk import (
+        dhyperplonk,
+        packed_proving_parameters,
+    )
+    from scalable_collaborative_zksnark_tpu.mpc.net import PartyNet
+
+    from scalable_collaborative_zksnark_tpu.hyperplonk.sharding import (
+        pk_arrays,
+        pk_merge,
+    )
+
+    n, l = args.n, args.l
+    N = 8 * l
+    net = PartyNet(N, mode="leader")
+    t0 = time.time()
+    pk = packed_proving_parameters(n, l, net)
+    jax.block_until_ready(pk.V)
+    setup_s = time.time() - t0
+    print(f"# setup (SRS + inputs): {setup_s:.1f}s", file=sys.stderr)
+
+    # One end-to-end executable: the protocol is a Python orchestration of
+    # jitted primitives; jitting the whole step collapses thousands of
+    # dispatches into ONE device program (essential over remote tunnels,
+    # and what a production prover would deploy).
+    arrays = pk_arrays(pk)
+
+    def step(arrs):
+        # return the FULL proof bundle: anything not returned is dead code
+        # that XLA eliminates, silently shrinking the benchmark
+        return dhyperplonk(n, pk_merge(pk, arrs), net)
+
+    step_jit = jax.jit(step)
+    t0 = time.time()
+    out = step_jit(arrays)
+    jax.block_until_ready(out)
+    print(f"# compile + first run: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    best = float("inf")
+    for i in range(max(args.repeat, 1)):
+        t0 = time.time()
+        out = step_jit(arrays)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        print(f"# run {i}: {dt:.2f}s  comm={net.comm(0)}", file=sys.stderr)
+        best = min(best, dt)
+
+    # Reference per-party estimate: 93.218 s / N at its (unrecorded) trace
+    # size; the BASELINE.json flagship config is l=8, N=64 (BASELINE.md).
+    baseline_per_party = 93.218 / 64.0
+    print(
+        json.dumps(
+            {
+                "metric": f"dhyperplonk_per_party_prove_s_n{n}_l{l}",
+                "value": round(best, 4),
+                "unit": "s",
+                "vs_baseline": round(baseline_per_party / best, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

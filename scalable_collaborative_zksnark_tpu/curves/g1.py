@@ -45,9 +45,13 @@ class Curve:
         self.fq = fq
         self.fr = fr
         self.b = b
-        # trace-once caching for the group law (see Field.__init__ note)
+        # trace-once caching for the group law (see Field.__init__ note);
+        # scalar_mul/_linear_map_bits wrap scans that close over their
+        # inputs and MUST be jitted to avoid per-call re-lowering
         self.add = jax.jit(self.add)
         self.double = jax.jit(self.double)
+        self.scalar_mul = jax.jit(self.scalar_mul)
+        self._linear_map_bits = jax.jit(self._linear_map_bits)
 
     def __hash__(self):
         return hash(self.name)
@@ -191,6 +195,7 @@ class Curve:
         """Multiply by per-element scalars given as *standard-form* Fr limbs.
 
         One scan over scalar bits (MSB first): acc = 2*acc (+ P if bit).
+        jitted in __init__ (the scan closes over pt/scalars — see fr.py).
         """
         nbits = scalar_std.shape[-1] * LIMB_BITS
         bit_idx = jnp.arange(nbits - 1, -1, -1, dtype=jnp.uint32)
@@ -228,7 +233,6 @@ class Curve:
         (the doubling chain is shared across all (o, i)).
         """
         n_out, n_in = matrix_obj.shape
-        assert pts.x.shape[-2] == n_in * 1 or True
         # bits table [nbits, out, in] uint32 (MSB first)
         nbits = self.fr.p.bit_length()
         bits = np.zeros((nbits, n_out, n_in), dtype=np.uint32)
@@ -237,8 +241,12 @@ class Curve:
                 v = int(matrix_obj[o, i]) % self.fr.p
                 for t in range(nbits):
                     bits[nbits - 1 - t, o, i] = (v >> t) & 1
-        bits = jnp.asarray(bits)
+        return self._linear_map_bits(jnp.asarray(bits), pts)
 
+    def _linear_map_bits(self, bits: jnp.ndarray, pts: PointJ) -> PointJ:
+        """Device kernel of linear_map: bits [nbits, out, in] as a traced
+        argument so one executable serves every same-shape matrix."""
+        nbits, n_out, n_in = bits.shape
         # broadcast points over the out axis: [..., out, in]
         ptb = jax.tree.map(lambda a: a[..., None, :, :], pts)
 

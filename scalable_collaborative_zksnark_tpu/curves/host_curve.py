@@ -325,3 +325,19 @@ def pairing_product(pairs) -> tuple:
     for p1, p2 in todo:
         f = f12_mul(f, _miller_loop(p1, p2))
     return f12_pow(f, (P**12 - 1) // R)
+
+
+def pairing_product_is_one(pairs) -> bool:
+    """prod e(P_i, Q_i) == 1 — the verifier's actual predicate.
+
+    Routed to the native C++ oracle (native/bls12_381.cc) when the
+    toolchain built it; falls back to the pure-Python tower otherwise.
+    """
+    try:
+        from .. import native
+
+        if native.available():
+            return native.pairing_product_is_one(pairs)
+    except Exception:  # noqa: BLE001 — any native failure degrades to Python
+        pass
+    return pairing_product(pairs) == F12_ONE

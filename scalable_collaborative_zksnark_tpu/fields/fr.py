@@ -62,9 +62,15 @@ class Field:
         # jit the hot ring ops: protocols instantiate these thousands of
         # times inside combinators (associative_scan retraces its combiner
         # ~2 log n times) — per-shape trace caching keeps trace time flat.
+        # pow_const/inv/batch_inv wrap lax.scan closures over their inputs,
+        # so they MUST be jitted or every call re-lowers with the input
+        # baked in as a constant (a fresh multi-second XLA compile).
         self.add = jax.jit(self.add)
         self.sub = jax.jit(self.sub)
         self.mul = jax.jit(self.mul)
+        self.pow_const = jax.jit(self.pow_const, static_argnums=1)
+        self.inv = jax.jit(self.inv)
+        self.batch_inv = jax.jit(self.batch_inv)
 
     # -- identity / hashing (stable for jit caches) ----------------------
     def __hash__(self):
@@ -128,32 +134,30 @@ class Field:
 
         ``cols``: [..., L] columns, each < ~2^31 (callers guarantee this).
         Returns (limbs, carry_out) where carry_out sits at position L.
+        Unrolled over the (static) limb count: a lax.scan here forces an
+        HBM round-trip per limb step; unrolled, XLA fuses the whole chain
+        into one memory pass (measured ~100x on TPU for `add`).
         """
-
-        def body(c, col):
-            s = col + c
-            return s >> LIMB_BITS, s & MASK
-
-        cols_t = jnp.moveaxis(cols, -1, 0)
-        carry, out = jax.lax.scan(body, jnp.zeros_like(cols_t[0]), cols_t)
-        return jnp.moveaxis(out, 0, -1), carry
+        c = jnp.zeros(cols.shape[:-1], jnp.uint32)
+        limbs = []
+        for j in range(self.L):
+            s = cols[..., j] + c
+            limbs.append(s & MASK)
+            c = s >> LIMB_BITS
+        return jnp.stack(limbs, axis=-1), c
 
     def _sub_limbs(self, a: jnp.ndarray, b_np: np.ndarray):
         """a - b for normalized a and a constant vector b.
 
-        Returns (diff mod 2^(16L), borrow).
+        Returns (diff mod 2^(16L), borrow).  Unrolled (see _carry).
         """
-        b = jnp.asarray(b_np, dtype=jnp.uint32)
-
-        def body(borrow, ab):
-            ai, bi = ab
-            d = ai - bi - borrow  # wraps in uint32 when negative
-            return (d >> 31) & jnp.uint32(1), d & MASK
-
-        a_t = jnp.moveaxis(a, -1, 0)
-        b_t = jnp.broadcast_to(b.reshape((self.L,) + (1,) * (a_t.ndim - 1)), a_t.shape)
-        borrow, out = jax.lax.scan(body, jnp.zeros_like(a_t[0]), (a_t, b_t))
-        return jnp.moveaxis(out, 0, -1), borrow
+        borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
+        out = []
+        for j in range(self.L):
+            d = a[..., j] - jnp.uint32(int(b_np[j])) - borrow  # wraps in uint32
+            borrow = (d >> 31) & jnp.uint32(1)
+            out.append(d & MASK)
+        return jnp.stack(out, axis=-1), borrow
 
     def _cond_sub_p(self, limbs: jnp.ndarray, extra: jnp.ndarray) -> jnp.ndarray:
         """Reduce a value < 2p to canonical form.
@@ -173,25 +177,64 @@ class Field:
         return self._cond_sub_p(limbs, carry)
 
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """a - b mod p computed as (a + p) - b with per-column +2^16 bias."""
+        """a - b mod p computed as (a + p) - b with per-column +2^16 bias.
+
+        Unrolled carry chain (see _carry)."""
         p = jnp.asarray(self._p_np, dtype=jnp.uint32)
         cols = a + p + (MASK + jnp.uint32(1)) - b  # each column in [1, 2^18)
-
-        def body(c, col):
-            s = col + c  # c is the (bias-corrected) carry, may be 2^32-1 == -1
-            return (s >> LIMB_BITS) - jnp.uint32(1), s & MASK
-
-        cols_t = jnp.moveaxis(cols, -1, 0)
-        carry, out = jax.lax.scan(body, jnp.zeros_like(cols_t[0]), cols_t)
-        limbs = jnp.moveaxis(out, 0, -1)
+        c = jnp.zeros(cols.shape[:-1], jnp.uint32)
+        limbs = []
+        for j in range(self.L):
+            s = cols[..., j] + c  # c may be 2^32-1 == -1 (bias-corrected)
+            limbs.append(s & MASK)
+            c = (s >> LIMB_BITS) - jnp.uint32(1)
+        limbs = jnp.stack(limbs, axis=-1)
         # value = a + p - b in (0, 2p); carry is its bit at 2^(16L)
-        return self._cond_sub_p(limbs, carry)
+        return self._cond_sub_p(limbs, c)
 
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.sub(self.zeros(a.shape[:-1]), a)
 
     def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """Montgomery product  a * b * R^{-1} mod p  (CIOS, scan form)."""
+        """Montgomery product  a * b * R^{-1} mod p  (CIOS).
+
+        Formulation is backend-dependent: on TPU the L^2 limb loop is
+        unrolled at trace time so XLA fuses the entire multiply into one
+        elementwise kernel (a lax.scan costs an HBM round-trip per limb
+        iteration, measured ~1.6x slower); on CPU the scan form is kept
+        because CPU XLA takes ~80 s to compile the ~1500-op unrolled
+        graph (vs seconds for the scan)."""
+        if jax.default_backend() == "cpu":
+            return self._mul_scan(a, b)
+        return self._mul_unrolled(a, b)
+
+    def _mul_unrolled(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        a, b = jnp.broadcast_arrays(a, b)
+        n0inv = self._n0inv
+        L = self.L
+        p_ints = [jnp.uint32(int(v)) for v in self._p_np]
+
+        batch_shape = a.shape[:-1]
+        t = [jnp.zeros(batch_shape, jnp.uint32) for _ in range(L + 1)]
+        for i in range(L):
+            ai = a[..., i]
+            for j in range(L):
+                prod = ai * b[..., j]  # exact 32-bit products of 16-bit limbs
+                t[j] = t[j] + (prod & MASK)
+                t[j + 1] = t[j + 1] + (prod >> LIMB_BITS)
+            m = ((t[0] & MASK) * n0inv) & MASK
+            for j in range(L):
+                mp = m * p_ints[j]
+                t[j] = t[j] + (mp & MASK)
+                t[j + 1] = t[j + 1] + (mp >> LIMB_BITS)
+            carry = t[0] >> LIMB_BITS
+            t = t[1:] + [jnp.zeros(batch_shape, jnp.uint32)]
+            t[0] = t[0] + carry
+        limbs, carry = self._carry(jnp.stack(t[:L], axis=-1))
+        carry = carry + t[L]  # top column joins the carry-out (< 2 total)
+        return self._cond_sub_p(limbs, carry)
+
+    def _mul_scan(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         a, b = jnp.broadcast_arrays(a, b)
         p = jnp.asarray(self._p_np, dtype=jnp.uint32)
         n0inv = self._n0inv

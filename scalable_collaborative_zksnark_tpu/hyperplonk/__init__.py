@@ -1,0 +1,26 @@
+"""HyperPlonk protocol layer (L4): local baselines + collaborative provers.
+
+Reference parity: /root/reference/hyperplonk/src/{hyperplonk.rs,dhyperplonk.rs}.
+"""
+
+from .collaborative import (
+    cpermcheck,
+    dhyperplonk,
+    dhyperplonk_data_parallel,
+    dpermcheck,
+)
+from .local import LocalInputs, local_hyperplonk, local_hyperplonkpp, local_inputs
+from .params import PackedProvingParameters, packed_proving_parameters
+
+__all__ = [
+    "LocalInputs",
+    "PackedProvingParameters",
+    "cpermcheck",
+    "dhyperplonk",
+    "dhyperplonk_data_parallel",
+    "dpermcheck",
+    "local_hyperplonk",
+    "local_hyperplonkpp",
+    "local_inputs",
+    "packed_proving_parameters",
+]

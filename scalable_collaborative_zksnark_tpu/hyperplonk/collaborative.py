@@ -1,0 +1,322 @@
+"""Collaborative / distributed HyperPlonk provers and permcheck variants.
+
+Parity with /root/reference/hyperplonk/src/dhyperplonk.rs:
+
+* ``dhyperplonk``                (rs:159-571)  — the flagship prover:
+  3 c_commit + 3 d_commit; 6 c_sumcheck_product gate identity; wire
+  identity with the all-to-all witness exchange, c/d opens, grand
+  product via d_acc_product, 8 d_commits + 5 d_opens, direct zerocheck
+  (3 d_sumcheck_product), the *layered* zerocheck (n - log N iterations
+  of 3 sumchecks + 3 opens on halving slices), the leader tree-top, and
+  6 final openings.
+* ``dhyperplonk_data_parallel``  (rs:573-960)  — identical minus the
+  all-to-all exchange (data-parallel circuits keep s local, rs:601-604).
+* ``dpermcheck``                 (rs:962-1247) — the improved permcheck
+  (paper §5.1): exactly the wire-identity section.
+* ``cpermcheck``                 (rs:1249-1385)— the baseline collabora-
+  tive permcheck (paper §4.3): num/den on shares, two full
+  c_acc_product_and_share pipelines, ~10 c_commit/c_open, 6 c_sumcheck.
+
+TPU shapes: share vectors are [P, len, L] (party axis first); plain
+``_p`` vectors are the 1/N slices [P, len/N, L].  Leader-only work
+(tree top) is computed once, not per party — on a sharded mesh it runs
+replicated, which is cheaper than a real leader round-trip.
+
+DOCUMENTED DEVIATION (cpermcheck stream lengths): the grand-product
+share streams from c_acc_product_and_share have lengths S and
+S - N^2/(2l); the reference feeds them to c_commit/c_open whose
+power-of-two asserts (dpoly_comm.rs:414,257) such lengths violate.  We
+zero-pad every stream to exactly S so shapes are static powers of two;
+cost differs by < N^2/(2lS).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.fr import Field
+from ..mpc.net import PartyNet
+from ..primitives.acc_product import acc_product, c_acc_product_and_share, d_acc_product
+from ..primitives.poly_comm import PolynomialCommitment, c_commit, c_open
+from ..primitives.sumcheck import c_sumcheck_product, d_sumcheck_product, sumcheck_product
+from ..utils.timer import trace as timed
+from .params import PackedProvingParameters
+
+
+def _pt1(pt):
+    """PointJ [..., 1, Lq] -> [..., Lq] (first batch entry)."""
+    return jax.tree.map(lambda a: a[..., 0, :], pt)
+
+
+def _exchange_s(F: Field, net: PartyNet, local_s: jnp.ndarray) -> jnp.ndarray:
+    """All-to-all broadcast of each party's witness-share block
+    (dhyperplonk.rs:270-294): party i sends its local_s to everyone;
+    every party ends with s = concat_i local_s_i."""
+    B = local_s.shape[-2]
+    net.all_to_all_rotating_root("fr", count_per_root=B, vec=True)
+    if net.mode == "leader":
+        # fake-network path: own block stands in for every received one
+        return jnp.tile(local_s, (1, net.n, 1))
+    flat = local_s.reshape(1, net.n * B, F.L)
+    return jnp.broadcast_to(flat, (net.n, net.n * B, F.L))
+
+
+def _num_den_h(F: Field, num_base, sid_like, den_base, ssig_like, alpha, beta):
+    """num = a + α·sid + β; den = b + α·ssigma + β; h = num/den
+    (dhyperplonk.rs:326-339) with Montgomery batch inversion."""
+    num = F.add(F.add(num_base, F.mul(alpha, sid_like)), beta)
+    den = F.add(F.add(den_base, F.mul(alpha, ssig_like)), beta)
+    h = F.mul(num, F.batch_inv(den))
+    return num, den, h
+
+
+def _subtree_views(subtree: jnp.ndarray):
+    """v(1,x), v(x,0), v(x,1) stride views (dhyperplonk.rs:344-359)."""
+    H = subtree.shape[-2] // 2
+    return subtree[..., H:, :], subtree[..., 0::2, :], subtree[..., 1::2, :]
+
+
+def _wire_identity_distributed(
+    n: int,
+    pk: PackedProvingParameters,
+    net: PartyNet,
+    local_s_p: jnp.ndarray,
+    s_shares: jnp.ndarray,
+    eq_top: jnp.ndarray,
+    c: int,
+):
+    """Steps 2.b-2.e shared by dhyperplonk / _data_parallel / dpermcheck
+    (dhyperplonk.rs:296-511)."""
+    F = pk.pp.field
+    pp = pk.pp
+    proofs: List = []
+    commits: List = []
+    opens: List = []
+    s_bits = net.n.bit_length() - 1
+
+    # 2.b commit s with the distributed PCS
+    commits.append(pk.d_commitment.d_commit(net, local_s_p, c=c))
+    # 2.c collaborative sumcheck product between s and V at r1
+    proofs.append(c_sumcheck_product(pp, net, s_shares, pk.V, pk.challenge_r1))
+    # 2.d co-open V at r1/r2; di-open s at r2
+    opens.append(c_open(pk.c_commitment, pp, net, pk.V, pk.challenge_r1, c=c))
+    opens.append(c_open(pk.c_commitment, pp, net, pk.V, pk.challenge_r2, c=c))
+    opens.append(pk.d_commitment.d_open(net, local_s_p, pk.challenge_r2, c=c))
+
+    # 2.e distributed permcheck on s and eq(r1, x)
+    with timed("Local: calculate den, num and h_p"):
+        num, den, h_p = _num_den_h(
+            F, local_s_p, pk.sid_p, pk.eq_r1_p, pk.ssigma_p, pk.alpha, pk.beta
+        )
+    subtree, leader_tree = d_acc_product(F, net, h_p)
+    with timed("Local: get three v"):
+        v1x, vx0, vx1 = _subtree_views(subtree)
+
+    # commit + open the wire polynomials
+    for poly in (pk.ssigma_p, pk.sid_p, h_p, num, den, v1x, vx0, vx1):
+        commits.append(pk.d_commitment.d_commit(net, poly, c=c))
+    for poly in (pk.ssigma_p, pk.sid_p, h_p, num, den):
+        opens.append(pk.d_commitment.d_open(net, poly, pk.challenge_r2, c=c))
+
+    # 2.e.1 direct zerocheck on p(x) = g*v0x - f
+    proofs.append(d_sumcheck_product(F, net, den, pk.eq_r2_p, pk.challenge_r2))
+    proofs.append(d_sumcheck_product(F, net, h_p, den, pk.challenge_r2))
+    proofs.append(d_sumcheck_product(F, net, num, pk.eq_r2_p, pk.challenge_r2))
+
+    # 2.e.2 layered zerocheck on q(x) = v(1,x) - v(x,0)*v(x,1)
+    # (dhyperplonk.rs:415-478): halving slices, challenge suffix r2[i:]
+    half = v1x.shape[-2] // 2
+    cur_v1x, cur_vx0, cur_vx1 = v1x[..., :half, :], vx0[..., :half, :], vx1[..., :half, :]
+    cur_eq = pk.eq_r2_p[..., : pk.eq_r2_p.shape[-2] // 2, :]
+    for i in range(1, n - s_bits + 1):
+        ch = pk.challenge_r2[i:]
+        proofs.append(d_sumcheck_product(F, net, cur_eq, cur_v1x, ch))
+        proofs.append(d_sumcheck_product(F, net, cur_eq, cur_vx0, ch))
+        proofs.append(d_sumcheck_product(F, net, cur_vx0, cur_vx1, ch))
+        opens.append(pk.d_commitment.d_open(net, cur_v1x, ch, c=c))
+        opens.append(pk.d_commitment.d_open(net, cur_vx0, ch, c=c))
+        opens.append(pk.d_commitment.d_open(net, cur_vx1, ch, c=c))
+        cur_v1x = cur_v1x[..., cur_v1x.shape[-2] // 2 :, :]
+        cur_vx0 = cur_vx0[..., cur_vx0.shape[-2] // 2 :, :]
+        cur_vx1 = cur_vx1[..., cur_vx1.shape[-2] // 2 :, :]
+        cur_eq = cur_eq[..., cur_eq.shape[-2] // 2 :, :]
+
+    # leader finishes the tree top locally (dhyperplonk.rs:480-511)
+    with timed("Leader: Compute leader tree"):
+        N = net.n
+        lt_v1x = leader_tree[N:, :]
+        lt_vx0 = leader_tree[0::2, :]
+        lt_vx1 = leader_tree[1::2, :]
+        ch_top = pk.challenge_r2[:s_bits]
+        for poly in (lt_vx0, lt_vx1, lt_v1x):
+            commits.append(pk.d_commitment.commit(poly, c=c))
+            opens.append(pk.d_commitment.open(poly, ch_top, c=c))
+        proofs.append(sumcheck_product(F, eq_top, lt_v1x, ch_top))
+        proofs.append(sumcheck_product(F, eq_top, lt_vx0, ch_top))
+        proofs.append(sumcheck_product(F, lt_vx0, lt_vx1, ch_top))
+    return proofs, commits, opens
+
+
+def _gate_identity(pk: PackedProvingParameters, net: PartyNet):
+    """Six collaborative gate-identity sumchecks (dhyperplonk.rs:222-260)."""
+    F = pk.pp.field
+    pp = pk.pp
+    ch = pk.challenge
+    proofs = [c_sumcheck_product(pp, net, pk.eq, pk.S1, ch)]
+    with timed("Local: Sum a and b"):
+        sum_ab = F.add(pk.a_evals, pk.b_evals)
+    proofs.append(c_sumcheck_product(pp, net, pk.S1, sum_ab, ch))
+    proofs.append(c_sumcheck_product(pp, net, pk.eq, pk.S2, ch))
+    proofs.append(c_sumcheck_product(pp, net, pk.a_evals, pk.b_evals, ch))
+    proofs.append(c_sumcheck_product(pp, net, pk.S2, pk.a_evals, ch))
+    with timed("Local: c-I"):
+        sum_ci = F.add(F.neg(pk.c_evals), pk.I)
+    proofs.append(c_sumcheck_product(pp, net, pk.eq, sum_ci, ch))
+    return proofs
+
+
+def _commit_step(pk: PackedProvingParameters, net: PartyNet, c: int):
+    """Step 1: 3 collaborative + 3 distributed commits (rs:197-217)."""
+    pp = pk.pp
+    com_a = _pt1(c_commit(pk.c_commitment, pp, net, [pk.a_evals], c=c))
+    com_b = _pt1(c_commit(pk.c_commitment, pp, net, [pk.b_evals], c=c))
+    com_c = _pt1(c_commit(pk.c_commitment, pp, net, [pk.c_evals], c=c))
+    com_I = pk.d_commitment.d_commit(net, pk.I_p, c=c)
+    com_S1 = pk.d_commitment.d_commit(net, pk.S1_p, c=c)
+    com_S2 = pk.d_commitment.d_commit(net, pk.S2_p, c=c)
+    return com_a, com_b, com_c, com_I, com_S1, com_S2
+
+
+def _final_opens(pk: PackedProvingParameters, net: PartyNet, coms, c: int):
+    """Final 3 c_open + 3 d_open (rs:517-554)."""
+    pp = pk.pp
+    com_a, com_b, com_c, com_I, com_S1, com_S2 = coms
+    out = [
+        (com_a, c_open(pk.c_commitment, pp, net, pk.a_evals, pk.challenge, c=c)),
+        (com_b, c_open(pk.c_commitment, pp, net, pk.b_evals, pk.challenge, c=c)),
+        (com_c, c_open(pk.c_commitment, pp, net, pk.c_evals, pk.challenge, c=c)),
+        (com_I, pk.d_commitment.d_open(net, pk.I_p, pk.challenge, c=c)),
+        (com_S1, pk.d_commitment.d_open(net, pk.S1_p, pk.challenge, c=c)),
+        (com_S2, pk.d_commitment.d_open(net, pk.S2_p, pk.challenge, c=c)),
+    ]
+    return out
+
+
+def dhyperplonk(n: int, pk: PackedProvingParameters, net: PartyNet,
+                seed: int = 2, c: int = 8):
+    """The flagship collaborative HyperPlonk prover (dhyperplonk.rs:159-571)."""
+    F = pk.pp.field
+    gc = 1 << n
+    P = net.local_parties
+    # "Jump from sky" protocol-internal placeholders (rs:187-190)
+    local_s_p = F.random((P, gc * 4 // net.n), seed * 31 + 1)
+    local_s = F.random((P, gc * 4 // net.n // pk.pp.l), seed * 31 + 2)
+    eq_top = F.random((net.n,), seed * 31 + 3)
+
+    net.sync()
+    with timed("Distributed HyperPlonk"):
+        with timed("Commit"):
+            coms = _commit_step(pk, net, c)
+        with timed("Distributed HyperPlonk Prover"):
+            with timed("Gate identity"):
+                gate_proofs = _gate_identity(pk, net)
+            with timed("Wire identity"):
+                s_shares = _exchange_s(F, net, local_s)  # 2.a (rs:270-294)
+                wire = _wire_identity_distributed(
+                    n, pk, net, local_s_p, s_shares, eq_top, c
+                )
+            with timed("Open"):
+                gate_coms = _final_opens(pk, net, coms, c)
+    return (gate_proofs, gate_coms), wire
+
+
+def dhyperplonk_data_parallel(n: int, pk: PackedProvingParameters, net: PartyNet,
+                              seed: int = 2, c: int = 8):
+    """Data-parallel-circuit variant (dhyperplonk.rs:573-960): identical
+    except s stays local — no all-to-all exchange (rs:601-604)."""
+    F = pk.pp.field
+    gc = 1 << n
+    P = net.local_parties
+    local_s_p = F.random((P, gc * 4 // net.n), seed * 37 + 1)
+    s_shares = F.random((P, gc * 4 // pk.pp.l), seed * 37 + 2)
+    eq_top = F.random((net.n,), seed * 37 + 3)
+
+    net.sync()
+    with timed("Distributed HyperPlonk (data-parallel)"):
+        with timed("Commit"):
+            coms = _commit_step(pk, net, c)
+        with timed("Distributed HyperPlonk Prover"):
+            with timed("Gate identity"):
+                gate_proofs = _gate_identity(pk, net)
+            with timed("Wire identity"):
+                wire = _wire_identity_distributed(
+                    n, pk, net, local_s_p, s_shares, eq_top, c
+                )
+            with timed("Open"):
+                gate_coms = _final_opens(pk, net, coms, c)
+    return (gate_proofs, gate_coms), wire
+
+
+def dpermcheck(n: int, pk: PackedProvingParameters, net: PartyNet,
+               seed: int = 3, c: int = 8):
+    """Improved permcheck standalone (dhyperplonk.rs:962-1247) — the
+    wire-identity section only, including the all-to-all exchange."""
+    F = pk.pp.field
+    gc = 1 << n
+    P = net.local_parties
+    local_s = F.random((P, gc * 4 // net.n // pk.pp.l), seed * 41 + 1)
+    local_s_p = F.random((P, gc * 4 // net.n), seed * 41 + 2)
+    eq_top = F.random((net.n,), seed * 41 + 3)
+
+    net.sync()
+    with timed("Distributed Permcheck"):
+        s_shares = _exchange_s(F, net, local_s)
+        wire = _wire_identity_distributed(n, pk, net, local_s_p, s_shares, eq_top, c)
+    return wire
+
+
+def cpermcheck(n: int, pk: PackedProvingParameters, net: PartyNet, c: int = 8):
+    """Baseline collaborative permcheck (dhyperplonk.rs:1249-1385, paper
+    §4.3): everything on PSS shares via c_acc_product_and_share."""
+    F = pk.pp.field
+    pp = pk.pp
+    S = pk.V.shape[-2]  # gate_count*4/l shares per party
+
+    net.sync()
+    proofs: List = []
+    commits: List = []
+    opens: List = []
+    with timed("Collaborative Permcheck"):
+        with timed("Local: calculate num and den"):
+            num = F.add(F.add(pk.V, F.mul(pk.alpha, pk.sid)), pk.beta)
+            den = F.add(F.add(pk.eq_r1, F.mul(pk.alpha, pk.ssigma)), pk.beta)
+        commits.append(_pt1(c_commit(pk.c_commitment, pp, net, [pk.ssigma], c=c)))
+        opens.append(c_open(pk.c_commitment, pp, net, pk.ssigma, pk.challenge_r1, c=c))
+        commits.append(_pt1(c_commit(pk.c_commitment, pp, net, [pk.sid], c=c)))
+        opens.append(c_open(pk.c_commitment, pp, net, pk.sid, pk.challenge_r1, c=c))
+        for evals in (num, den):
+            vx0, vx1, v1x = c_acc_product_and_share(
+                pp, net, evals, pk.mask, pk.unmask0, pk.unmask1, pk.unmask2
+            )
+            # pad streams to S (power of two) — see module DEVIATION note
+            def pad(x):
+                k = S - x.shape[-2]
+                if k <= 0:
+                    return x[..., :S, :]
+                return jnp.concatenate(
+                    [x, jnp.zeros(x.shape[:-2] + (k, F.L), jnp.uint32)], axis=-2
+                )
+
+            vx0, vx1, v1x = pad(vx0), pad(vx1), pad(v1x)
+            for poly in (evals, vx0, vx1, v1x):
+                commits.append(_pt1(c_commit(pk.c_commitment, pp, net, [poly], c=c)))
+                opens.append(c_open(pk.c_commitment, pp, net, poly, pk.challenge_r1, c=c))
+            proofs.append(c_sumcheck_product(pp, net, pk.eq_r1, v1x, pk.challenge_r1))
+            proofs.append(c_sumcheck_product(pp, net, pk.eq_r1, vx0, pk.challenge_r1))
+            proofs.append(c_sumcheck_product(pp, net, vx0, vx1, pk.challenge_r1))
+            # q(x) checked by evaluation (rs:1371-1375)
+            opens.append(c_open(pk.c_commitment, pp, net, evals, pk.challenge_r1, c=c))
+    return proofs, commits, opens

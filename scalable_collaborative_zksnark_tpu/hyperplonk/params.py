@@ -1,0 +1,174 @@
+"""Prover input generation: PackedProvingParameters + local baseline inputs.
+
+Parity with /root/reference/hyperplonk/src/dhyperplonk.rs:21-157 and the
+input blocks of hyperplonk.rs:18-47.  As in the reference, every input is
+a *seeded random placeholder* of the correct size ("Jump from sky",
+dhyperplonk.rs:187-190): the prover's arithmetic and communication are
+cost-faithful, the witness is not a real circuit.  Fields with a ``_p``
+suffix are plain values sliced 1/N per party; the rest are PSS shares
+sized 1/l per party (dhyperplonk.rs:20).
+
+TPU shape convention: every per-party vector is an array [P, len, L]
+(P = materialized parties: N in ``sim`` mode, 1 in ``leader`` mode);
+challenges/scalars are [k, L] / [L] replicated across parties.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+from ..curves.g1 import Curve, bls12_381_g1
+from ..fields.fr import Field
+from ..mpc.net import PartyNet
+from ..primitives.mle import fix_variable
+from ..primitives.poly_comm import PolynomialCommitment, srs_random
+from ..pss.pss import PackedSharingParams
+
+
+@dataclasses.dataclass
+class PackedProvingParameters:
+    """All collaborative-prover inputs (dhyperplonk.rs:21-62)."""
+
+    n: int
+    pp: PackedSharingParams
+    curve: Curve
+    # witness shares (sized gate_count*4/l per party)
+    V: jnp.ndarray
+    a_evals: jnp.ndarray
+    b_evals: jnp.ndarray
+    c_evals: jnp.ndarray
+    # input / selectors: shares and plain slices
+    I: jnp.ndarray
+    S1: jnp.ndarray
+    S2: jnp.ndarray
+    I_p: jnp.ndarray
+    S1_p: jnp.ndarray
+    S2_p: jnp.ndarray
+    # permutation / identity polynomials
+    ssigma: jnp.ndarray
+    ssigma_p: jnp.ndarray
+    ssigma_a: jnp.ndarray
+    ssigma_b: jnp.ndarray
+    ssigma_c: jnp.ndarray
+    sid: jnp.ndarray
+    sid_p: jnp.ndarray
+    # eq polynomials
+    eq: jnp.ndarray
+    eq_top_p: jnp.ndarray
+    eq_r1: jnp.ndarray
+    eq_r1_p: jnp.ndarray
+    eq_r2: jnp.ndarray
+    eq_r2_p: jnp.ndarray
+    # challenges
+    challenge: jnp.ndarray
+    challenge_r1: jnp.ndarray
+    challenge_r2: jnp.ndarray
+    alpha: jnp.ndarray
+    beta: jnp.ndarray
+    gamma: jnp.ndarray
+    # commitments (SRS)
+    d_commitment: PolynomialCommitment
+    c_commitment: PolynomialCommitment
+    # masks for c_acc_product_and_share
+    mask: jnp.ndarray
+    unmask0: jnp.ndarray
+    unmask1: jnp.ndarray
+    unmask2: jnp.ndarray
+    # dummies
+    reduce_target: jnp.ndarray
+
+
+def packed_proving_parameters(
+    n: int,
+    l: int,
+    net: PartyNet,
+    curve: Optional[Curve] = None,
+    seed: int = 1,
+    srs: Optional[dict] = None,
+) -> PackedProvingParameters:
+    """Generate all inputs (dhyperplonk.rs:64-157) for N = 8l parties.
+
+    ``srs``: optional {"c": ..., "d": ...} override (e.g. an honest
+    secret-derived SRS for verification tests instead of the random one).
+    """
+    if curve is None:
+        curve = bls12_381_g1()
+    F = curve.fr
+    pp = PackedSharingParams(F, l)
+    assert net.n == pp.n
+    P = net.local_parties
+    gc = 1 << n
+    s_bits = pp.n.bit_length() - 1
+
+    zero, one = F.const(0), F.const(1)
+
+    def r(shape, k):
+        return F.random(shape, seed * 1009 + k)
+
+    V = r((P, gc * 4 // l), 1)
+    pts00 = jnp.stack([zero, zero])
+    pts01 = jnp.stack([zero, one])
+    pts10 = jnp.stack([one, zero])
+    a_evals = fix_variable(F, V, pts00)
+    b_evals = fix_variable(F, V, pts01)
+    c_evals = fix_variable(F, V, pts10)
+    ssigma = r((P, gc * 4 // l), 2)
+
+    if srs is None:
+        # c: `new_single` (random packed levels, identical across parties,
+        # dpoly_comm.rs:197-219); d: `new_random` (levels capped at
+        # n+2-log2(N), dpoly_comm.rs:220-233) + root levels for d_open.
+        c_srs = srs_random(curve, n + 2, seed + 17, packed_parties=pp.n, max_level=-1)
+        # level cap follows `new_random` (n+2 - log2 N, dpoly_comm.rs:222)
+        # but never below log2 N: the leader tree-top commits at level
+        # log2 N (dhyperplonk.rs:500-505), which at small n would index
+        # past the reference's own SRS (it only benches n >= 16).
+        d_srs = srs_random(curve, n + 2, seed + 23, n_parties=pp.n,
+                           max_level=max(n + 2 - s_bits, s_bits))
+    else:
+        c_srs, d_srs = srs["c"], srs["d"]
+
+    return PackedProvingParameters(
+        n=n,
+        pp=pp,
+        curve=curve,
+        V=V,
+        a_evals=a_evals,
+        b_evals=b_evals,
+        c_evals=c_evals,
+        I=r((P, gc // l), 3),
+        S1=r((P, gc // l), 4),
+        S2=r((P, gc // l), 5),
+        I_p=r((P, gc // pp.n), 6),
+        S1_p=r((P, gc // pp.n), 7),
+        S2_p=r((P, gc // pp.n), 8),
+        ssigma=ssigma,
+        ssigma_p=r((P, gc * 4 // pp.n), 9),
+        ssigma_a=fix_variable(F, ssigma, pts00),
+        ssigma_b=fix_variable(F, ssigma, pts01),
+        ssigma_c=fix_variable(F, ssigma, pts10),
+        sid=r((P, gc * 4 // l), 10),
+        sid_p=r((P, gc * 4 // pp.n), 11),
+        eq=r((P, gc // l), 12),
+        eq_top_p=r((P, pp.n * 2), 13),
+        eq_r1=r((P, gc * 4 // l), 14),
+        eq_r1_p=r((P, gc * 4 // pp.n), 15),
+        eq_r2=r((P, gc * 4 // l), 16),
+        eq_r2_p=r((P, gc * 4 // pp.n), 17),
+        challenge=r((n,), 18),
+        challenge_r1=r((n + 2,), 19),
+        challenge_r2=r((n + 2,), 20),
+        alpha=r((), 21),
+        beta=r((), 22),
+        gamma=r((), 23),
+        d_commitment=d_srs,
+        c_commitment=c_srs,
+        mask=r((P, gc * 4 // l), 24),
+        unmask0=r((P, gc * 4 // l), 25),
+        unmask1=r((P, gc * 4 // l), 26),
+        unmask2=r((P, gc * 4 // l), 27),
+        reduce_target=r((P, max(gc // l // l, 1)), 28),
+    )

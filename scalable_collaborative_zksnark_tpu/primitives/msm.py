@@ -99,15 +99,33 @@ def _prefix_sum_points(curve: Curve, pts: PointJ) -> PointJ:
     return jax.lax.fori_loop(0, steps, body, pts)
 
 
+NAIVE_MAX = 256
+"""Below this size, Pippenger's bucket overhead loses to plain batched
+double-and-add (~2 point-ops per scalar bit on N lanes vs ~24 per window
+element): the small-MSM path is one scalar_mul scan + a tree sum."""
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def _msm_1d(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int) -> PointJ:
-    """MSM for unbatched inputs: points [N], scalars [N, L] standard form."""
+    """MSM for unbatched inputs: points [N], scalars [N, L] standard form.
+
+    Algorithm is chosen by static size: tiny tables use double-and-add;
+    large ones the sort+scan Pippenger.  There, all ~nbits/c windows are
+    *independent*, so they run as one vmapped batch (a [W, N] lane grid —
+    the VPU-friendly shape); only the tiny Horner combine (c doublings +
+    1 add per window on a single point) is sequential.  jitted with
+    (curve, c) static: the inner scans close over the point table, so an
+    un-jitted call would bake it into the jaxpr as a constant and
+    recompile on every invocation (~25-30 s on CPU).  Under jit the
+    executable caches per shape."""
+    if scalars_std.shape[0] <= NAIVE_MAX:
+        return curve.sum(curve.scalar_mul(points, scalars_std), axis=0)
     nbits = scalars_std.shape[-1] * LIMB_BITS
     n_windows = (nbits + c - 1) // c
     N = scalars_std.shape[0]
     nb = 1 << c
 
-    def window(acc, w):
-        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.double(a), acc)
+    def window(w):
         d = _digit(scalars_std, c, w)  # [N]
         order = jnp.argsort(d)
         ds = d[order]
@@ -134,13 +152,30 @@ def _msm_1d(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int) -> P
         tail = jax.tree.map(lambda a: jnp.flip(a[1:], axis=0), buckets)
         suffix = _prefix_sum_points(curve, tail)  # suffix[j] = S_{nb-1-j}
         total = _prefix_sum_points(curve, suffix)
-        g_w = jax.tree.map(lambda a: a[-1], total)
-        return curve.add(acc, g_w), None
+        return jax.tree.map(lambda a: a[-1], total)
 
-    acc0 = curve.infinity(())
-    ws = jnp.arange(n_windows - 1, -1, -1, dtype=jnp.uint32)
-    out, _ = jax.lax.scan(window, acc0, ws)
+    ws = jnp.arange(n_windows, dtype=jnp.uint32)
+    g_ws = jax.vmap(window)(ws)  # PointJ [W], weight 2^(c*w)
+
+    def comb(acc, gw):
+        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.double(a), acc)
+        return curve.add(acc, gw), None
+
+    out, _ = jax.lax.scan(
+        comb, curve.infinity(()), jax.tree.map(lambda a: jnp.flip(a, 0), g_ws)
+    )
     return out
+
+
+MIN_MSM_SIZE = 32
+"""Small MSMs are zero-padded up to this size so every tiny call shares
+ONE compiled executable per batch rank.  A zero scalar contributes
+nothing on either path (digit-0 segments land in the ignored 0-bucket;
+double-and-add with an all-zero scalar yields infinity), so padding with
+(infinity, 0) pairs is exact.  XLA compile time (~25-30 s per distinct
+shape for these limb-arithmetic graphs) is the binding constraint; the
+protocols call MSM on dozens of distinct small levels (c_open
+q-vectors, layered zerocheck opens)."""
 
 
 def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8) -> PointJ:
@@ -149,6 +184,21 @@ def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8) -> P
     Returns PointJ [...]. Batch dims are vmapped; each instance runs the
     sort+scan Pippenger above.
     """
+    N = scalars_std.shape[-2]
+    if N < MIN_MSM_SIZE:
+        padn = MIN_MSM_SIZE - N
+        scalars_std = jnp.concatenate(
+            [
+                scalars_std,
+                jnp.zeros(scalars_std.shape[:-2] + (padn,) + scalars_std.shape[-1:],
+                          scalars_std.dtype),
+            ],
+            axis=-2,
+        )
+        inf = curve.infinity(points.x.shape[:-2] + (padn,))
+        points = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=-2), points, inf
+        )
     batch = scalars_std.shape[:-2]
     pts_batch_rank = points.x.ndim - 2  # [batch..., N, L]
     f = lambda p, s: _msm_1d(curve, p, s, c)

@@ -87,10 +87,17 @@ class PolynomialCommitment:
             cur = F.add(lo, F.mul(point[i], q))
         return cur[..., 0, :], proofs
 
-    def verify(self, commitment: PointJ, value, proofs, point_ints) -> bool:
+    def verify(self, commitment: PointJ, value, proofs, point_ints,
+               g2_offset: int = 0) -> bool:
         """Pairing check on the host oracle (BLS12-381 only).
 
         commitment/proofs: single points; value/point_ints: Python ints.
+        ``g2_offset``: SRS level k of an n-variable SRS is the tensor over
+        the *trailing* variables s_{n-k}..s_{n-1} (dpoly_comm.rs:37-67
+        prepends factors), so verifying a sub-level opening must pair
+        proof i with g2^{s_{offset+i}}, offset = n - k.  The reference's
+        verify has no such parameter because its tests only open
+        full-level polynomials (dpoly_comm.rs:533-583).
         """
         g1aff = self.curve.to_affine_ints(
             jax.tree.map(lambda a: a[None], self.powers_of_g[0])
@@ -102,9 +109,12 @@ class PolynomialCommitment:
         # move RHS to LHS: product of e(pi_i, g2^{s_i} - u_i g2)^{-1}
         for i, pi in enumerate(proofs):
             piaff = self.curve.to_affine_ints(jax.tree.map(lambda a: a[None], pi))[0]
-            rhs_g2 = hc.g2_add(self.powers_of_g2[i + 1], hc.g2_neg(hc.g2_mul(g2, point_ints[i])))
+            rhs_g2 = hc.g2_add(
+                self.powers_of_g2[g2_offset + i + 1],
+                hc.g2_neg(hc.g2_mul(g2, point_ints[i])),
+            )
             pairs.append((hc.g1_neg(piaff), rhs_g2))
-        return hc.pairing_product(pairs) == hc.F12_ONE
+        return hc.pairing_product_is_one(pairs)
 
     # ------------------------------------------------------------------
     # Distributed (d_) ops — evals sliced 1/N per party, party axis first
@@ -257,39 +267,53 @@ def srs_packed(srs: PolynomialCommitment, pp: PackedSharingParams) -> Polynomial
 
 
 def srs_random(curve: Curve, n: int, seed: int, n_parties: int = 1,
-               packed_parties: int = 0) -> PolynomialCommitment:
+               packed_parties: int = 0, max_level: int | None = None) -> PolynomialCommitment:
     """Benchmark SRS with random points (`new_toy`/`new_single`/`new_random`,
     dpoly_comm.rs:115-233): structure-free but size- and cost-faithful.
 
     Points are generated on device as G * k_i for seeded random k_i.
     With packed_parties > 0 also fills ``packed_powers`` with random
     share points sized 2^k / l per party (`new_single` semantics).
+    ``max_level`` caps the unpacked G1 levels, like ``new_random``'s
+    ``len_log_2 - log2(party_count)`` truncation (dpoly_comm.rs:222).
     """
     F = curve.fr
     g = curve.from_affine_ints([hc.G1_GEN if curve.name == "bls12_381_g1" else hc.G1_GEN])
 
-    def rand_points(count, sd):
+    def rand_points_flat(count, sd):
+        """ONE batched scalar_mul for `count` points (one compile/dispatch)."""
         ks = F.decode(F.random((count,), sd))
         base = jax.tree.map(lambda a: jnp.broadcast_to(a, (count,) + a.shape[1:]), g)
         return curve.scalar_mul(base, ks)
 
-    powers = [rand_points(1 << k, seed + k) for k in range(n + 1)]
+    def rand_levels(sizes, sd):
+        """Random points for all levels from one flat generation, sliced."""
+        total = sum(sizes)
+        flat = rand_points_flat(total, sd)
+        out, off = [], 0
+        for s in sizes:
+            out.append(jax.tree.map(lambda a: a[off : off + s], flat))
+            off += s
+        return out
+
+    top = n if max_level is None else min(max_level, n)
+    powers = rand_levels([1 << k for k in range(top + 1)], seed)
     g2s = [hc.G2_GEN] + [hc.g2_mul(hc.G2_GEN, seed * 7919 + i + 1) for i in range(n)]
     out = PolynomialCommitment(curve, powers, g2s)
     if n_parties > 1:
         sbits = n_parties.bit_length() - 1
         out.party_weights = np.asarray([1] * n_parties, dtype=object)
-        out.root_levels = [rand_points(1 << j, seed + 101 + j) for j in range(sbits)]
+        out.root_levels = rand_levels([1 << j for j in range(sbits)], seed + 101)
     if packed_parties:
         l = packed_parties // 8
+        flat_levels = rand_levels(
+            [max((1 << k) // l, 1) for k in range(n + 1)], seed + 211
+        )
         out.packed_powers = [
             jax.tree.map(
-                lambda a: jnp.broadcast_to(
-                    a[None], (packed_parties,) + a.shape
-                ),
-                rand_points(max((1 << k) // l, 1), seed + 211 + k),
+                lambda a: jnp.broadcast_to(a[None], (packed_parties,) + a.shape), lv
             )
-            for k in range(n + 1)
+            for lv in flat_levels
         ]
     return out
 

@@ -1,0 +1,160 @@
+"""HyperPlonk protocol layer — structure, verification, and comm tests.
+
+Checks (mirroring the reference's conformance surface):
+* local_hyperplonk / local_hyperplonkpp produce the reference's exact
+  proof/commit/open counts (hyperplonk.rs:15-316) and, with an honest
+  secret-derived SRS, the openings pass pairing verification.
+* dhyperplonk (and variants) produce the reference's counts
+  (dhyperplonk.rs:159-571) and tick the per-party byte counters.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scalable_collaborative_zksnark_tpu.curves import g1 as g1mod
+from scalable_collaborative_zksnark_tpu.curves import host_curve as hc
+from scalable_collaborative_zksnark_tpu.fields.fr import get_field
+from scalable_collaborative_zksnark_tpu.hyperplonk import (
+    cpermcheck,
+    dhyperplonk,
+    dhyperplonk_data_parallel,
+    dpermcheck,
+    local_hyperplonk,
+    local_hyperplonkpp,
+    packed_proving_parameters,
+)
+from scalable_collaborative_zksnark_tpu.mpc.net import PartyNet
+from scalable_collaborative_zksnark_tpu.primitives.poly_comm import srs_from_secret
+from scalable_collaborative_zksnark_tpu.primitives.sumcheck import (
+    check_sumcheck_product,
+)
+
+CURVE = g1mod.bls12_381_g1()
+F = CURVE.fr
+C = 4  # small MSM window for CPU tests
+
+
+def honest_srs(n_vars, n_parties=1, seed=11):
+    rng = np.random.RandomState(seed)
+    s = [int.from_bytes(rng.bytes(40), "little") % F.p for _ in range(n_vars)]
+    return srs_from_secret(CURVE, hc.G1_GEN, hc.G2_GEN, s, n_parties=n_parties)
+
+
+def test_local_hyperplonk_counts_and_verify():
+    n = 2
+    srs = honest_srs(n + 2)
+    (gate_proofs, gate_coms), (wp, wc, wo) = local_hyperplonk(n, srs, c=C)
+    # counts: hyperplonk.rs:67-151
+    assert len(gate_proofs) == 6
+    assert len(gate_coms) == 6
+    assert len(wp) == 6
+    assert len(wc) == 8
+    assert len(wo) == 8
+    # proof shapes: [n+1, 3, L] round messages
+    assert gate_proofs[0].shape == (n + 1, 3, F.L)
+    assert wp[0].shape == (n + 3, 3, F.L)
+    # pairing-verify one gate opening and one wire opening (real SRS)
+    from scalable_collaborative_zksnark_tpu.hyperplonk.local import local_inputs
+
+    ins = local_inputs(F, n, 0)
+    ch_ints = [int(v) for v in F.array_to_ints(ins.challenge)]
+    com, (value, proofs) = gate_coms[0]
+    # gate polys are level n of the (n+2)-var SRS -> trailing-s g2 powers
+    assert srs.verify(com, int(F.array_to_ints(value)), proofs, ch_ints, g2_offset=2)
+    ch2_ints = [int(v) for v in F.array_to_ints(ins.challengep2)]
+    value, proofs = wo[2]  # h opening
+    assert srs.verify(wc[2], int(F.array_to_ints(value)), proofs, ch2_ints)
+
+
+def test_local_hyperplonk_gate_sumcheck_transcript():
+    """The gate sumcheck_product transcripts satisfy the verifier oracle."""
+    n = 3
+    srs = honest_srs(n + 2)
+    from scalable_collaborative_zksnark_tpu.hyperplonk.local import local_inputs
+
+    ins = local_inputs(F, n, 0)
+    (gate_proofs, _), _ = local_hyperplonk(n, srs, ins=ins, c=C)
+    # proof 3 is sumcheck_product(a, b): h = sum a*b
+    a = F.array_to_ints(ins.a)
+    b = F.array_to_ints(ins.b)
+    h = sum(int(x) * int(y) % F.p for x, y in zip(a, b)) % F.p
+    proof = [[int(v) for v in row] for row in F.array_to_ints(gate_proofs[3])]
+    ch = [int(v) for v in F.array_to_ints(ins.challenge)]
+    assert check_sumcheck_product(F, h, proof, ch)
+
+
+def test_local_hyperplonkpp_counts():
+    n = 2
+    srs = honest_srs(n + 2)
+    (gp, gc_), (wp, wc, wo) = local_hyperplonkpp(n, srs, c=C)
+    # hyperplonk.rs:162-316: +1 commit (s), +1 proof (M*s), +3 opens
+    assert len(gp) == 6 and len(gc_) == 6
+    assert len(wp) == 7
+    assert len(wc) == 9
+    assert len(wo) == 11
+
+
+# CPU-test scale: l=1 (N=8 parties) keeps the sim-mode party batch small;
+# leader mode (P=1) covers the remaining variants' structure cheaply.
+L1 = 1
+N1 = 8
+
+
+def test_dhyperplonk_counts_and_comm():
+    n = 4  # > log2(N1) = 3 so the layered zerocheck runs
+    s = 3
+    net = PartyNet(N1)
+    pk = packed_proving_parameters(n, L1, net, curve=CURVE)
+    (gate_proofs, gate_coms), (wp, wc, wo) = dhyperplonk(n, pk, net, c=C)
+    assert len(gate_proofs) == 6
+    assert len(gate_coms) == 6
+    assert len(wp) == 7 + 3 * (n - s)
+    assert len(wc) == 12
+    assert len(wo) == 11 + 3 * (n - s)
+    up, down = net.comm(0)
+    assert up > 0 and down > 0
+    # gate c_sumcheck messages: [P, n+1, 3, L]
+    assert gate_proofs[0].shape == (N1, n + 1, 3, F.L)
+
+
+def test_dhyperplonk_data_parallel_leader_mode():
+    """Leader mode: one party materialized, same structure, comm counted."""
+    n = 4
+    s = 3
+    net = PartyNet(N1, mode="leader")
+    pk = packed_proving_parameters(n, L1, net, curve=CURVE)
+    (gate_proofs, gate_coms), (wp, wc, wo) = dhyperplonk_data_parallel(
+        n, pk, net, c=C
+    )
+    assert len(wp) == 7 + 3 * (n - s)
+    assert gate_proofs[0].shape == (1, n + 1, 3, F.L)
+    up, down = net.comm(0)
+    assert up > 0 and down > 0
+
+
+def test_dpermcheck_counts():
+    n = 4
+    s = 3
+    net = PartyNet(N1, mode="leader")
+    pk = packed_proving_parameters(n, L1, net, curve=CURVE)
+    wp, wc, wo = dpermcheck(n, pk, net, c=C)
+    assert len(wp) == 7 + 3 * (n - s)
+    assert len(wc) == 12
+    assert len(wo) == 11 + 3 * (n - s)
+
+
+def test_cpermcheck_counts():
+    n = 5  # S = 4*gc/l = 128 shares/party; S > N required by acc pipeline
+    net = PartyNet(N1, mode="leader")
+    pk = packed_proving_parameters(n, L1, net, curve=CURVE)
+    wp, wc, wo = cpermcheck(n, pk, net, c=C)
+    # dhyperplonk.rs:1286-1376: 2 + 2*4 = 10 commits, 2+2*5 = 12 opens,
+    # 2*3 = 6 sumcheck proofs
+    assert len(wc) == 10
+    assert len(wo) == 12
+    assert len(wp) == 6
+    # streams were padded to S: every c_open value share is [P, L]
+    value, proofs = wo[3]
+    assert value.shape == (1, F.L)
