@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--l", type=int, default=8, help="packing factor (N = 8l)")
     ap.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--eager", action="store_true",
+                    help="run as eagerly dispatched jitted primitives "
+                         "(no end-to-end jit; resilient to huge graphs)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -79,7 +82,7 @@ def main() -> None:
         # that XLA eliminates, silently shrinking the benchmark
         return dhyperplonk(n, pk_merge(pk, arrs), net)
 
-    step_jit = jax.jit(step)
+    step_jit = step if args.eager else jax.jit(step)
     t0 = time.time()
     out = step_jit(arrays)
     jax.block_until_ready(out)

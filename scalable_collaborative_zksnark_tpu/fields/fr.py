@@ -134,10 +134,19 @@ class Field:
 
         ``cols``: [..., L] columns, each < ~2^31 (callers guarantee this).
         Returns (limbs, carry_out) where carry_out sits at position L.
-        Unrolled over the (static) limb count: a lax.scan here forces an
-        HBM round-trip per limb step; unrolled, XLA fuses the whole chain
-        into one memory pass (measured ~100x on TPU for `add`).
+        Backend-dependent like ``mul``: unrolled on TPU (a lax.scan forces
+        an HBM round-trip per limb step; unrolled, XLA fuses the chain into
+        one memory pass — measured ~100x for `add`); scan on CPU, where
+        unrolled bodies inflate every enclosing scan's compile time.
         """
+        if jax.default_backend() == "cpu":
+            def body(c, col):
+                s = col + c
+                return s >> LIMB_BITS, s & MASK
+
+            cols_t = jnp.moveaxis(cols, -1, 0)
+            carry, out = jax.lax.scan(body, jnp.zeros_like(cols_t[0]), cols_t)
+            return jnp.moveaxis(out, 0, -1), carry
         c = jnp.zeros(cols.shape[:-1], jnp.uint32)
         limbs = []
         for j in range(self.L):
@@ -149,8 +158,22 @@ class Field:
     def _sub_limbs(self, a: jnp.ndarray, b_np: np.ndarray):
         """a - b for normalized a and a constant vector b.
 
-        Returns (diff mod 2^(16L), borrow).  Unrolled (see _carry).
+        Returns (diff mod 2^(16L), borrow).  Backend-dependent (see _carry).
         """
+        if jax.default_backend() == "cpu":
+            b = jnp.asarray(b_np, dtype=jnp.uint32)
+
+            def body(borrow, ab):
+                ai, bi = ab
+                d = ai - bi - borrow  # wraps in uint32 when negative
+                return (d >> 31) & jnp.uint32(1), d & MASK
+
+            a_t = jnp.moveaxis(a, -1, 0)
+            b_t = jnp.broadcast_to(
+                b.reshape((self.L,) + (1,) * (a_t.ndim - 1)), a_t.shape
+            )
+            borrow, out = jax.lax.scan(body, jnp.zeros_like(a_t[0]), (a_t, b_t))
+            return jnp.moveaxis(out, 0, -1), borrow
         borrow = jnp.zeros(a.shape[:-1], jnp.uint32)
         out = []
         for j in range(self.L):
@@ -179,9 +202,18 @@ class Field:
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         """a - b mod p computed as (a + p) - b with per-column +2^16 bias.
 
-        Unrolled carry chain (see _carry)."""
+        Backend-dependent carry chain (see _carry)."""
         p = jnp.asarray(self._p_np, dtype=jnp.uint32)
         cols = a + p + (MASK + jnp.uint32(1)) - b  # each column in [1, 2^18)
+        if jax.default_backend() == "cpu":
+            def body(c, col):
+                s = col + c  # c is the bias-corrected carry (may be -1)
+                return (s >> LIMB_BITS) - jnp.uint32(1), s & MASK
+
+            cols_t = jnp.moveaxis(cols, -1, 0)
+            carry, out = jax.lax.scan(body, jnp.zeros_like(cols_t[0]), cols_t)
+            limbs = jnp.moveaxis(out, 0, -1)
+            return self._cond_sub_p(limbs, carry)
         c = jnp.zeros(cols.shape[:-1], jnp.uint32)
         limbs = []
         for j in range(self.L):

@@ -51,6 +51,25 @@ def _pt1(pt):
     return jax.tree.map(lambda a: a[..., 0, :], pt)
 
 
+def _stackp(xs):
+    """List of [P, M, L] tables -> [P, B, M, L] (protocol batch axis).
+
+    Same-shape primitive calls are stacked onto one batch axis so one
+    collective round (and one device dispatch) serves the whole group —
+    the reference's round-compression axis (SURVEY §2.6.8) applied to
+    every same-shape group in the prover.
+    """
+    return jnp.stack(xs, axis=1)
+
+
+def _unstack(arr, B: int, axis: int = 1):
+    return [jnp.take(arr, i, axis=axis) for i in range(B)]
+
+
+def _unstack_pt(pt, B: int, axis: int = 1):
+    return [jax.tree.map(lambda a: jnp.take(a, i, axis=axis), pt) for i in range(B)]
+
+
 def _exchange_s(F: Field, net: PartyNet, local_s: jnp.ndarray) -> jnp.ndarray:
     """All-to-all broadcast of each party's witness-share block
     (dhyperplonk.rs:270-294): party i sends its local_s to everyone;
@@ -115,30 +134,46 @@ def _wire_identity_distributed(
     with timed("Local: get three v"):
         v1x, vx0, vx1 = _subtree_views(subtree)
 
-    # commit + open the wire polynomials
-    for poly in (pk.ssigma_p, pk.sid_p, h_p, num, den, v1x, vx0, vx1):
-        commits.append(pk.d_commitment.d_commit(net, poly, c=c))
-    for poly in (pk.ssigma_p, pk.sid_p, h_p, num, den):
-        opens.append(pk.d_commitment.d_open(net, poly, pk.challenge_r2, c=c))
+    # commit + open the wire polynomials — all 8 share one shape, so one
+    # batched d_commit / d_open round serves the group
+    grp8 = _stackp([pk.ssigma_p, pk.sid_p, h_p, num, den, v1x, vx0, vx1])
+    commits.extend(_unstack_pt(pk.d_commitment.d_commit(net, grp8, c=c), 8))
+    grp5 = _stackp([pk.ssigma_p, pk.sid_p, h_p, num, den])
+    val5, pis5 = pk.d_commitment.d_open(net, grp5, pk.challenge_r2, c=c)
+    for b in range(5):
+        opens.append((val5[b], [jax.tree.map(lambda a: a[b], pi) for pi in pis5]))
 
-    # 2.e.1 direct zerocheck on p(x) = g*v0x - f
-    proofs.append(d_sumcheck_product(F, net, den, pk.eq_r2_p, pk.challenge_r2))
-    proofs.append(d_sumcheck_product(F, net, h_p, den, pk.challenge_r2))
-    proofs.append(d_sumcheck_product(F, net, num, pk.eq_r2_p, pk.challenge_r2))
+    # 2.e.1 direct zerocheck on p(x) = g*v0x - f (3 same-shape sumchecks)
+    z3 = d_sumcheck_product(
+        F,
+        net,
+        _stackp([den, h_p, num]),
+        _stackp([pk.eq_r2_p, den, pk.eq_r2_p]),
+        pk.challenge_r2,
+    )
+    proofs.extend(_unstack(z3, 3, axis=0))
 
     # 2.e.2 layered zerocheck on q(x) = v(1,x) - v(x,0)*v(x,1)
-    # (dhyperplonk.rs:415-478): halving slices, challenge suffix r2[i:]
+    # (dhyperplonk.rs:415-478): halving slices, challenge suffix r2[i:];
+    # each layer's 3 sumchecks and 3 opens ride one batched call
     half = v1x.shape[-2] // 2
     cur_v1x, cur_vx0, cur_vx1 = v1x[..., :half, :], vx0[..., :half, :], vx1[..., :half, :]
     cur_eq = pk.eq_r2_p[..., : pk.eq_r2_p.shape[-2] // 2, :]
     for i in range(1, n - s_bits + 1):
         ch = pk.challenge_r2[i:]
-        proofs.append(d_sumcheck_product(F, net, cur_eq, cur_v1x, ch))
-        proofs.append(d_sumcheck_product(F, net, cur_eq, cur_vx0, ch))
-        proofs.append(d_sumcheck_product(F, net, cur_vx0, cur_vx1, ch))
-        opens.append(pk.d_commitment.d_open(net, cur_v1x, ch, c=c))
-        opens.append(pk.d_commitment.d_open(net, cur_vx0, ch, c=c))
-        opens.append(pk.d_commitment.d_open(net, cur_vx1, ch, c=c))
+        zl = d_sumcheck_product(
+            F,
+            net,
+            _stackp([cur_eq, cur_eq, cur_vx0]),
+            _stackp([cur_v1x, cur_vx0, cur_vx1]),
+            ch,
+        )
+        proofs.extend(_unstack(zl, 3, axis=0))
+        val3, pis3 = pk.d_commitment.d_open(
+            net, _stackp([cur_v1x, cur_vx0, cur_vx1]), ch, c=c
+        )
+        for b in range(3):
+            opens.append((val3[b], [jax.tree.map(lambda a: a[b], pi) for pi in pis3]))
         cur_v1x = cur_v1x[..., cur_v1x.shape[-2] // 2 :, :]
         cur_vx0 = cur_vx0[..., cur_vx0.shape[-2] // 2 :, :]
         cur_vx1 = cur_vx1[..., cur_vx1.shape[-2] // 2 :, :]
@@ -151,57 +186,76 @@ def _wire_identity_distributed(
         lt_vx0 = leader_tree[0::2, :]
         lt_vx1 = leader_tree[1::2, :]
         ch_top = pk.challenge_r2[:s_bits]
-        for poly in (lt_vx0, lt_vx1, lt_v1x):
-            commits.append(pk.d_commitment.commit(poly, c=c))
-            opens.append(pk.d_commitment.open(poly, ch_top, c=c))
-        proofs.append(sumcheck_product(F, eq_top, lt_v1x, ch_top))
-        proofs.append(sumcheck_product(F, eq_top, lt_vx0, ch_top))
-        proofs.append(sumcheck_product(F, lt_vx0, lt_vx1, ch_top))
+        lt3 = jnp.stack([lt_vx0, lt_vx1, lt_v1x], axis=0)  # [3, N, L]
+        commits.extend(_unstack_pt(pk.d_commitment.commit(lt3, c=c), 3, axis=0))
+        vals, pis = pk.d_commitment.open(lt3, ch_top, c=c)
+        for b in range(3):
+            opens.append((vals[b], [jax.tree.map(lambda a: a[b], pi) for pi in pis]))
+        top3 = sumcheck_product(
+            F,
+            jnp.stack([jnp.broadcast_to(eq_top, lt_v1x.shape)] * 2 + [lt_vx0], 0),
+            jnp.stack([lt_v1x, lt_vx0, lt_vx1], axis=0),
+            ch_top,
+        )
+        proofs.extend(_unstack(top3, 3, axis=0))
     return proofs, commits, opens
 
 
 def _gate_identity(pk: PackedProvingParameters, net: PartyNet):
-    """Six collaborative gate-identity sumchecks (dhyperplonk.rs:222-260)."""
+    """Six collaborative gate-identity sumchecks (dhyperplonk.rs:222-260).
+
+    All six share one table shape, so they run as ONE batched
+    c_sumcheck_product (identical bytes, 6x fewer rounds/dispatches)."""
     F = pk.pp.field
     pp = pk.pp
     ch = pk.challenge
-    proofs = [c_sumcheck_product(pp, net, pk.eq, pk.S1, ch)]
     with timed("Local: Sum a and b"):
         sum_ab = F.add(pk.a_evals, pk.b_evals)
-    proofs.append(c_sumcheck_product(pp, net, pk.S1, sum_ab, ch))
-    proofs.append(c_sumcheck_product(pp, net, pk.eq, pk.S2, ch))
-    proofs.append(c_sumcheck_product(pp, net, pk.a_evals, pk.b_evals, ch))
-    proofs.append(c_sumcheck_product(pp, net, pk.S2, pk.a_evals, ch))
     with timed("Local: c-I"):
         sum_ci = F.add(F.neg(pk.c_evals), pk.I)
-    proofs.append(c_sumcheck_product(pp, net, pk.eq, sum_ci, ch))
-    return proofs
+    fs = _stackp([pk.eq, pk.S1, pk.eq, pk.a_evals, pk.S2, pk.eq])
+    gs = _stackp([pk.S1, sum_ab, pk.S2, pk.b_evals, pk.a_evals, sum_ci])
+    batch = c_sumcheck_product(pp, net, fs, gs, ch)  # [P, 6, R, 3, L]
+    return _unstack(batch, 6, axis=1)
 
 
 def _commit_step(pk: PackedProvingParameters, net: PartyNet, c: int):
-    """Step 1: 3 collaborative + 3 distributed commits (rs:197-217)."""
+    """Step 1: 3 collaborative + 3 distributed commits (rs:197-217),
+    grouped into one c_commit batch and one d_commit batch."""
     pp = pk.pp
-    com_a = _pt1(c_commit(pk.c_commitment, pp, net, [pk.a_evals], c=c))
-    com_b = _pt1(c_commit(pk.c_commitment, pp, net, [pk.b_evals], c=c))
-    com_c = _pt1(c_commit(pk.c_commitment, pp, net, [pk.c_evals], c=c))
-    com_I = pk.d_commitment.d_commit(net, pk.I_p, c=c)
-    com_S1 = pk.d_commitment.d_commit(net, pk.S1_p, c=c)
-    com_S2 = pk.d_commitment.d_commit(net, pk.S2_p, c=c)
+    cc = c_commit(
+        pk.c_commitment, pp, net, [pk.a_evals, pk.b_evals, pk.c_evals], c=c
+    )  # [P, 3]
+    com_a, com_b, com_c = _unstack_pt(cc, 3, axis=1)
+    dc = pk.d_commitment.d_commit(net, _stackp([pk.I_p, pk.S1_p, pk.S2_p]), c=c)
+    com_I, com_S1, com_S2 = _unstack_pt(dc, 3, axis=1)
     return com_a, com_b, com_c, com_I, com_S1, com_S2
 
 
 def _final_opens(pk: PackedProvingParameters, net: PartyNet, coms, c: int):
-    """Final 3 c_open + 3 d_open (rs:517-554)."""
+    """Final 3 c_open + 3 d_open (rs:517-554), one batched round each."""
     pp = pk.pp
     com_a, com_b, com_c, com_I, com_S1, com_S2 = coms
-    out = [
-        (com_a, c_open(pk.c_commitment, pp, net, pk.a_evals, pk.challenge, c=c)),
-        (com_b, c_open(pk.c_commitment, pp, net, pk.b_evals, pk.challenge, c=c)),
-        (com_c, c_open(pk.c_commitment, pp, net, pk.c_evals, pk.challenge, c=c)),
-        (com_I, pk.d_commitment.d_open(net, pk.I_p, pk.challenge, c=c)),
-        (com_S1, pk.d_commitment.d_open(net, pk.S1_p, pk.challenge, c=c)),
-        (com_S2, pk.d_commitment.d_open(net, pk.S2_p, pk.challenge, c=c)),
-    ]
+    cval, cpis = c_open(
+        pk.c_commitment,
+        pp,
+        net,
+        _stackp([pk.a_evals, pk.b_evals, pk.c_evals]),
+        pk.challenge,
+        c=c,
+    )  # cval [P, 3, L], cpis PointJ [P, 3, R]
+    dval, dpis = pk.d_commitment.d_open(
+        net, _stackp([pk.I_p, pk.S1_p, pk.S2_p]), pk.challenge, c=c
+    )
+    out = []
+    for b, com in enumerate((com_a, com_b, com_c)):
+        out.append(
+            (com, (cval[:, b], jax.tree.map(lambda a: a[:, b], cpis)))
+        )
+    for b, com in enumerate((com_I, com_S1, com_S2)):
+        out.append(
+            (com, (dval[b], [jax.tree.map(lambda a: a[b], pi) for pi in dpis]))
+        )
     return out
 
 
@@ -293,10 +347,14 @@ def cpermcheck(n: int, pk: PackedProvingParameters, net: PartyNet, c: int = 8):
         with timed("Local: calculate num and den"):
             num = F.add(F.add(pk.V, F.mul(pk.alpha, pk.sid)), pk.beta)
             den = F.add(F.add(pk.eq_r1, F.mul(pk.alpha, pk.ssigma)), pk.beta)
-        commits.append(_pt1(c_commit(pk.c_commitment, pp, net, [pk.ssigma], c=c)))
-        opens.append(c_open(pk.c_commitment, pp, net, pk.ssigma, pk.challenge_r1, c=c))
-        commits.append(_pt1(c_commit(pk.c_commitment, pp, net, [pk.sid], c=c)))
-        opens.append(c_open(pk.c_commitment, pp, net, pk.sid, pk.challenge_r1, c=c))
+        cc2 = c_commit(pk.c_commitment, pp, net, [pk.ssigma, pk.sid], c=c)
+        commits.extend(_unstack_pt(cc2, 2, axis=1))
+        ov, opi = c_open(
+            pk.c_commitment, pp, net, _stackp([pk.ssigma, pk.sid]),
+            pk.challenge_r1, c=c,
+        )
+        for b in range(2):
+            opens.append((ov[:, b], jax.tree.map(lambda a: a[:, b], opi)))
         for evals in (num, den):
             vx0, vx1, v1x = c_acc_product_and_share(
                 pp, net, evals, pk.mask, pk.unmask0, pk.unmask1, pk.unmask2
@@ -311,12 +369,22 @@ def cpermcheck(n: int, pk: PackedProvingParameters, net: PartyNet, c: int = 8):
                 )
 
             vx0, vx1, v1x = pad(vx0), pad(vx1), pad(v1x)
-            for poly in (evals, vx0, vx1, v1x):
-                commits.append(_pt1(c_commit(pk.c_commitment, pp, net, [poly], c=c)))
-                opens.append(c_open(pk.c_commitment, pp, net, poly, pk.challenge_r1, c=c))
-            proofs.append(c_sumcheck_product(pp, net, pk.eq_r1, v1x, pk.challenge_r1))
-            proofs.append(c_sumcheck_product(pp, net, pk.eq_r1, vx0, pk.challenge_r1))
-            proofs.append(c_sumcheck_product(pp, net, vx0, vx1, pk.challenge_r1))
-            # q(x) checked by evaluation (rs:1371-1375)
-            opens.append(c_open(pk.c_commitment, pp, net, evals, pk.challenge_r1, c=c))
+            cc4 = c_commit(pk.c_commitment, pp, net, [evals, vx0, vx1, v1x], c=c)
+            commits.extend(_unstack_pt(cc4, 4, axis=1))
+            # 4 opens interleaved with the commits + the final evaluation
+            # check (rs:1371-1375) — 5 same-shape/same-point opens batched
+            ov, opi = c_open(
+                pk.c_commitment, pp, net,
+                _stackp([evals, vx0, vx1, v1x, evals]),
+                pk.challenge_r1, c=c,
+            )
+            for b in range(5):
+                opens.append((ov[:, b], jax.tree.map(lambda a: a[:, b], opi)))
+            sc3 = c_sumcheck_product(
+                pp, net,
+                _stackp([pk.eq_r1, pk.eq_r1, vx0]),
+                _stackp([v1x, vx0, vx1]),
+                pk.challenge_r1,
+            )
+            proofs.extend(_unstack(sc3, 3, axis=1))
     return proofs, commits, opens

@@ -105,7 +105,6 @@ double-and-add (~2 point-ops per scalar bit on N lanes vs ~24 per window
 element): the small-MSM path is one scalar_mul scan + a tree sum."""
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
 def _msm_1d(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int) -> PointJ:
     """MSM for unbatched inputs: points [N], scalars [N, L] standard form.
 
@@ -199,6 +198,14 @@ def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8) -> P
         points = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=-2), points, inf
         )
+    return _msm_batched(curve, points, scalars_std, c)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _msm_batched(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int) -> PointJ:
+    """jit boundary ABOVE the vmap stack: `vmap(jit(f))` builds a fresh
+    batched executable on every call (observed: hundreds of runtime
+    recompiles); `jit(vmap(f))` caches one executable per shape."""
     batch = scalars_std.shape[:-2]
     pts_batch_rank = points.x.ndim - 2  # [batch..., N, L]
     f = lambda p, s: _msm_1d(curve, p, s, c)

@@ -120,38 +120,51 @@ class PolynomialCommitment:
     # Distributed (d_) ops — evals sliced 1/N per party, party axis first
     # ------------------------------------------------------------------
     def _scale_by_weights(self, net: PartyNet, pts: PointJ) -> PointJ:
-        """Multiply party p's point by w_p (the prefix-tensor factor)."""
+        """Multiply party p's point by w_p (the prefix-tensor factor).
+
+        ``pts``: PointJ [P, ...] — weights broadcast over batch dims.
+        """
         w = self.party_weights
-        scal = np.asarray([int(w[p]) for p in range(net.n)], dtype=object)
-        if net.mode == "leader":
-            scal = scal[:1]
-        return self.curve.scalar_mul_int(pts, list(scal))
+        P = net.local_parties
+        if all(int(w[p]) == 1 for p in range(P)):
+            return pts  # random benchmark SRS: weights are trivially 1
+        extra = pts.x.ndim - 2  # batch dims beyond the party axis
+        scal = np.asarray(
+            [int(w[p]) for p in range(P)], dtype=object
+        ).reshape((P,) + (1,) * extra)
+        return self.curve.scalar_mul_int(pts, scal)
 
     def d_commit(self, net: PartyNet, peval: jnp.ndarray, c: int = 8) -> PointJ:
-        """peval [P, M_loc, L] -> the true commitment, broadcast to all."""
+        """peval [P, ..., M_loc, L] -> the true commitment(s) [P, ...].
+
+        Extra batch dims share the one leader round (round compression).
+        """
         F = self.curve.fr
         k = peval.shape[-2].bit_length() - 1
-        local = msm(self.curve, self.powers_of_g[k], F.decode(peval), c=c)  # [P]
+        B = int(np.prod(peval.shape[1:-2], dtype=np.int64))
+        local = msm(self.curve, self.powers_of_g[k], F.decode(peval), c=c)  # [P, ...]
         local = self._scale_by_weights(net, local)
-        g = net.gather_to_root(local, "g1")  # [N]
+        g = net.gather_to_root(local, "g1", count=B, vec=B > 1)  # [N, ...]
         total = self.curve.sum(g, axis=0)
         out = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (net.n,) + a.shape), total)
-        return net.scatter_from_root(out, "g1")
+        return net.scatter_from_root(out, "g1", count=B, vec=B > 1)
 
     def d_open(self, net: PartyNet, peval: jnp.ndarray, point: jnp.ndarray,
                point_ints=None, c: int = 8):
-        """peval [P, 2^m, L], point [n, L] -> (value [L], proofs list).
+        """peval [P, ..., 2^m, L], point [n, L] -> (value [..., L], proofs).
 
         Parties fold their local slice with point[s:] (suffix variables),
         pushing per-round local commitments; the leader sums them, then
         opens the root polynomial of the N local values over point[:s]
         with the root levels.  Proof order: root rounds first (pairs with
         g2^{s_0..s_{s-1}}), then local rounds — matching verify's slot
-        order (dpoly_comm.rs:466-484).
+        order (dpoly_comm.rs:466-484).  Extra batch dims (same point)
+        share the one leader round.
         """
         F = self.curve.fr
         s = net.n.bit_length() - 1
         m = peval.shape[-2].bit_length() - 1
+        B = int(np.prod(peval.shape[1:-2], dtype=np.int64))
         cur = peval
         local_pis = []
         for j in range(m):
@@ -159,22 +172,22 @@ class PolynomialCommitment:
             lo, hi = cur[..., :half, :], cur[..., half:, :]
             q = F.sub(hi, lo)
             k = q.shape[-2].bit_length() - 1
-            pi = msm(self.curve, self.powers_of_g[k], F.decode(q), c=c)  # [P]
+            pi = msm(self.curve, self.powers_of_g[k], F.decode(q), c=c)  # [P, ...]
             local_pis.append(self._scale_by_weights(net, pi))
             cur = F.add(lo, F.mul(point[s + j], q))
-        local_z = cur[..., 0, :]  # [P, L]
-        # one leader round: each worker pushes (z, Vec<pi>) — count the
-        # tuple payload once, move the data without re-counting
+        local_z = cur[..., 0, :]  # [P, ..., L]
+        # one leader round: each worker pushes (z, Vec<pi>) per slot —
+        # count the payload once, move the data without re-counting
         from ..mpc.net import VEC_PREFIX
 
         net._count_gather(
-            net.payload_bytes("fr", 1) + VEC_PREFIX + net.payload_bytes("g1", m)
+            B * (net.payload_bytes("fr", 1) + VEC_PREFIX + net.payload_bytes("g1", m))
         )
-        zg = net.gather_data_only(local_z)  # [N, L]
+        zg = net.gather_data_only(local_z)  # [N, ..., L]
         pig = [net.gather_data_only(pi) for pi in local_pis]
         summed = [self.curve.sum(p_, axis=0) for p_ in pig]  # local-round proofs
         # leader opens the root polynomial (values z over the party index)
-        cur = zg
+        cur = jnp.moveaxis(zg, 0, -2)  # [..., N, L]
         root_pis = []
         for j in range(s):
             half = cur.shape[-2] // 2
@@ -188,7 +201,7 @@ class PolynomialCommitment:
         # leader scatters the (real-to-leader, zero-to-worker) answer
         # (dpoly_comm.rs:386-391): count the scatter, return the real one
         net._count_scatter(
-            net.payload_bytes("fr", 1) + VEC_PREFIX + net.payload_bytes("g1", s + m)
+            B * (net.payload_bytes("fr", 1) + VEC_PREFIX + net.payload_bytes("g1", s + m))
         )
         return value, root_pis + summed
 
@@ -328,9 +341,9 @@ def _d_msm_ragged(curve, pp, net, bases_list, scalars_list, c=8):
     F = curve.fr
     locs = []
     for bases, scal in zip(bases_list, scalars_list):
-        locs.append(msm(curve, bases, scal, c=c))  # [P]
-    local = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *locs)  # [P, B]
-    B = len(locs)
+        locs.append(msm(curve, bases, scal, c=c))  # [P, ...]
+    local = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *locs)  # [P, ..., B]
+    B = len(locs) * int(np.prod(locs[0].x.shape[1:-1], dtype=np.int64))
     gathered = net.gather_to_root(local, "g1", count=B, vec=True)
     w, q = _dmsm_reduce_vectors(pp)
     gt = jax.tree.map(lambda a: jnp.moveaxis(a, 0, -2), gathered)  # [B, N]

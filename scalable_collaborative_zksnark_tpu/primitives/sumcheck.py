@@ -33,6 +33,7 @@ from __future__ import annotations
 import functools
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields.fr import Field
 from ..mpc.net import PartyNet
@@ -156,22 +157,29 @@ def c_sumcheck_product(
 def d_sumcheck(
     F: Field, net: PartyNet, parts: jnp.ndarray, challenges: jnp.ndarray
 ) -> jnp.ndarray:
-    """parts [P, 2^n_loc, L] -> leader proof [n_loc + log2(N), 2, L].
+    """parts [P, ..., 2^n_loc, L] -> leader proof [..., n_loc+log2(N), 2, L].
 
     Per the reference (dsumcheck.rs:319-353) the leader output has no
-    trailing (0, value) entry; workers receive nothing.
+    trailing (0, value) entry; workers receive nothing.  Extra batch dims
+    ride the same leader round (round compression, SURVEY §2.6.8).
     """
     n_loc = parts.shape[-2].bit_length() - 1
     s = net.n.bit_length() - 1
+    B = int(np.prod(parts.shape[1:-2], dtype=np.int64))
     msgs, cur = _rounds_single(F, parts, challenges, 0, n_loc)
-    local = jnp.stack(msgs, axis=-3)  # [P, n_loc, 2, L]
-    # workers push Vec<(F,F)> of n_loc+1 entries (incl. final) — count that
-    gathered = net.gather_to_root(local, "fr", count=(n_loc + 1) * 2, vec=True)
-    final = net.gather_data_only(cur[..., 0, :])  # [N, L]; bytes counted above
-    summed = F.sum(gathered, axis=0)  # [n_loc, 2, L]
-    lead_msgs, _ = _rounds_single(F, final, challenges, n_loc, s)
-    lead = jnp.stack(lead_msgs, axis=-3) if lead_msgs else jnp.zeros((0, 2, F.L), jnp.uint32)
-    return jnp.concatenate([summed, lead], axis=0)
+    local = jnp.stack(msgs, axis=-3)  # [P, ..., n_loc, 2, L]
+    # workers push Vec<(F,F)> of n_loc+1 entries (incl. final) per slot
+    gathered = net.gather_to_root(local, "fr", count=B * (n_loc + 1) * 2, vec=True)
+    final = net.gather_data_only(cur[..., 0, :])  # [N, ..., L]
+    summed = F.sum(gathered, axis=0)  # [..., n_loc, 2, L]
+    lead_in = jnp.moveaxis(final, 0, -2)  # [..., N, L]
+    lead_msgs, _ = _rounds_single(F, lead_in, challenges, n_loc, s)
+    lead = (
+        jnp.stack(lead_msgs, axis=-3)
+        if lead_msgs
+        else jnp.zeros(summed.shape[:-3] + (0, 2, F.L), jnp.uint32)
+    )
+    return jnp.concatenate([summed, lead], axis=-3)
 
 
 def d_sumcheck_product(
@@ -181,22 +189,30 @@ def d_sumcheck_product(
     parts_g: jnp.ndarray,
     challenges: jnp.ndarray,
 ) -> jnp.ndarray:
-    """[P, 2^n_loc, L] x2 -> leader proof [n_loc + log2(N), 3, L].
+    """[P, ..., 2^n_loc, L] x2 -> leader proof [..., n_loc+log2(N), 3, L].
 
     Parties additionally push (last_g, last_f, 0) (dsumcheck.rs:433); the
     leader folds those N (f, g) pairs for log2(N) further product rounds.
+    Extra batch dims ride the same leader round.
     """
     n_loc = parts_f.shape[-2].bit_length() - 1
     s = net.n.bit_length() - 1
+    B = int(np.prod(parts_f.shape[1:-2], dtype=np.int64))
     msgs, cf, cg = _rounds_product(F, parts_f, parts_g, challenges, 0, n_loc)
-    local = jnp.stack(msgs, axis=-3)  # [P, n_loc, 3, L]
-    gathered = net.gather_to_root(local, "fr", count=(n_loc + 1) * 3, vec=True)
-    lf = net.gather_data_only(cf[..., 0, :])  # [N, L]
+    local = jnp.stack(msgs, axis=-3)  # [P, ..., n_loc, 3, L]
+    gathered = net.gather_to_root(local, "fr", count=B * (n_loc + 1) * 3, vec=True)
+    lf = net.gather_data_only(cf[..., 0, :])  # [N, ..., L]
     lg = net.gather_data_only(cg[..., 0, :])
     summed = F.sum(gathered, axis=0)
-    lead_msgs, _, _ = _rounds_product(F, lf, lg, challenges, n_loc, s)
-    lead = jnp.stack(lead_msgs, axis=-3) if lead_msgs else jnp.zeros((0, 3, F.L), jnp.uint32)
-    return jnp.concatenate([summed, lead], axis=0)
+    lead_msgs, _, _ = _rounds_product(
+        F, jnp.moveaxis(lf, 0, -2), jnp.moveaxis(lg, 0, -2), challenges, n_loc, s
+    )
+    lead = (
+        jnp.stack(lead_msgs, axis=-3)
+        if lead_msgs
+        else jnp.zeros(summed.shape[:-3] + (0, 3, F.L), jnp.uint32)
+    )
+    return jnp.concatenate([summed, lead], axis=-3)
 
 
 # ---------------------------------------------------------------------------

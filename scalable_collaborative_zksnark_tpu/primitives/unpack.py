@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..mpc.net import PartyNet
 from ..pss.pss import PackedSharingParams
@@ -70,16 +71,24 @@ def d_unpack2_many(
 
 
 def pss2ss(pp: PackedSharingParams, net: PartyNet, share: jnp.ndarray) -> jnp.ndarray:
-    """share [P, L] (one packed share per party) -> [P, l, L] regular shares.
+    """share [P, ..., L] (one packed share per party per batch slot) ->
+    [P, ..., l, L] regular shares.
 
-    out[j, k] = u[j] * v[k]: unpack across the party axis then an outer
-    product with the single-secret packing vector.  Communication: one
-    gather of 1 field element + one scatter of l field elements per party
-    (unpack.rs:82-93).
+    out[j, ..., k] = u[j] * v[..., k]: unpack across the party axis then
+    an outer product with the single-secret packing vector.
+    Communication: one gather of B field elements + one scatter of B*l
+    field elements per party (unpack.rs:82-93); extra batch dims ride the
+    same round (the protocols' round-compression axis, SURVEY §2.6.8).
     """
     F = pp.field
-    g = net.gather_to_root(share, "fr")  # [N, L]
-    v = pp.unpack(g)  # [l, L]
+    B = int(np.prod(share.shape[1:-1], dtype=np.int64)) if share.ndim > 2 else 1
+    g = net.gather_to_root(share, "fr", count=B, vec=B > 1)  # [N, ..., L]
+    cols = jnp.moveaxis(g, 0, -2)  # [..., N, L]
+    v = pp.unpack(cols)  # [..., l, L]
     u = _pack_single_u(pp)  # [n, L]
-    out = F.mul(u[:, None, :], v[None, :, :])  # [n, l, L]
-    return net.scatter_from_root(out, "fr", count=pp.l, vec=True)
+    bshape = v.shape[:-2]
+    out = F.mul(
+        u.reshape((pp.n,) + (1,) * (len(bshape) + 1) + (F.L,)),
+        v[None],
+    )  # [n, ..., l, L]
+    return net.scatter_from_root(out, "fr", count=B * pp.l, vec=True)

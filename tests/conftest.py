@@ -17,23 +17,8 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache, keyed by the host's CPU feature set:
-# XLA:CPU AOT executables segfault when loaded on a machine with
-# different vector extensions than the compile machine (observed when
-# /tmp survived across heterogeneous sandbox hosts), so entries must
-# never cross machines.
-import hashlib
-
-_flags = ""
-try:
-    with open("/proc/cpuinfo") as _fh:
-        for _line in _fh:
-            if _line.startswith("flags"):
-                _flags = _line.strip()
-                break
-except OSError:
-    pass
-_key = hashlib.sha1(_flags.encode()).hexdigest()[:12]
-jax.config.update("jax_compilation_cache_dir", f"/tmp/sczk_jax_cache_{_key}")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the persistent compilation cache is deliberately DISABLED.
+# On this host XLA:CPU executable (de)serialization is unreliable: loads
+# segfault when entries were AOT-compiled under different CPU features,
+# and writes segfault in put_executable_and_time for some executables.
+# Compile time is paid once per process instead (the suite runs in one).
