@@ -59,6 +59,23 @@ class Curve:
     def __eq__(self, other):
         return isinstance(other, Curve) and self.name == other.name
 
+    def _ffi(self):
+        """Native CPU kernel module, or None (TPU / no toolchain).
+
+        On CPU, scalar_mul / sum / linear_map / MSM each lower to ONE
+        custom call into 64-bit Jacobian arithmetic (native/field_ffi.cc)
+        instead of a 256-iteration scan of ~40 field ops per bit — both
+        a large runtime win and the difference between minutes and
+        seconds of XLA:CPU compile for protocol graphs."""
+        if jax.default_backend() != "cpu":
+            return None
+        from ..fields import ffi as _ffi_mod
+
+        return _ffi_mod if _ffi_mod.available() else None
+
+    def _ffi_fid(self, ffi):
+        return ffi.field_id(self.fq.spec.name)
+
     # -- constructors ----------------------------------------------------
     def infinity(self, shape=()) -> PointJ:
         z = self.fq.zeros(shape)
@@ -170,6 +187,16 @@ class Curve:
         """Tree-reduction point sum along a batch axis."""
         if axis < 0:
             axis = pt.x.ndim - 1 + axis
+        ffi = self._ffi()
+        if ffi is not None and pt.x.shape[axis] > 1:
+            arr = jax.tree.map(lambda a: jnp.moveaxis(a, axis, -2), pt)
+            K = arr.x.shape[-2]
+            out_shape = arr.x.shape[:-2] + (self.fq.L,)
+            ox, oy, oz = ffi.g1_op(
+                2, self._ffi_fid(ffi), arr.x, arr.y, arr.z,
+                jnp.zeros((4,), jnp.uint32), out_shape, K, 1,
+            )
+            return PointJ(ox, oy, oz)
         p = pt
         n = p.x.shape[axis]
         while n > 1:
@@ -196,7 +223,22 @@ class Curve:
 
         One scan over scalar bits (MSB first): acc = 2*acc (+ P if bit).
         jitted in __init__ (the scan closes over pt/scalars — see fr.py).
+        On CPU: one native custom call (see _ffi).
         """
+        ffi = self._ffi()
+        if ffi is not None:
+            bshape = jnp.broadcast_shapes(
+                pt.x.shape[:-1], scalar_std.shape[:-1]
+            )
+            ptb = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, bshape + a.shape[-1:]), pt
+            )
+            sb = jnp.broadcast_to(scalar_std, bshape + scalar_std.shape[-1:])
+            ox, oy, oz = ffi.g1_op(
+                1, self._ffi_fid(ffi), ptb.x, ptb.y, ptb.z, sb,
+                ptb.x.shape, 1, 1,
+            )
+            return PointJ(ox, oy, oz)
         nbits = scalar_std.shape[-1] * LIMB_BITS
         bit_idx = jnp.arange(nbits - 1, -1, -1, dtype=jnp.uint32)
 
@@ -233,6 +275,21 @@ class Curve:
         (the doubling chain is shared across all (o, i)).
         """
         n_out, n_in = matrix_obj.shape
+        ffi = self._ffi()
+        if ffi is not None:
+            from ..fields.config import int_to_limbs
+
+            Lr = self.fr.L
+            scal = np.zeros((n_out, n_in, Lr), dtype=np.uint32)
+            for o in range(n_out):
+                for i in range(n_in):
+                    scal[o, i] = int_to_limbs(int(matrix_obj[o, i]) % self.fr.p, Lr)
+            out_shape = pts.x.shape[:-2] + (n_out, self.fq.L)
+            ox, oy, oz = ffi.g1_op(
+                3, self._ffi_fid(ffi), pts.x, pts.y, pts.z,
+                jnp.asarray(scal), out_shape, n_in, n_out,
+            )
+            return PointJ(ox, oy, oz)
         # bits table [nbits, out, in] uint32 (MSB first)
         nbits = self.fr.p.bit_length()
         bits = np.zeros((nbits, n_out, n_in), dtype=np.uint32)

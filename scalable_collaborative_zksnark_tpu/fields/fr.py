@@ -72,6 +72,20 @@ class Field:
         self.inv = jax.jit(self.inv)
         self.batch_inv = jax.jit(self.batch_inv)
 
+    def _ffi(self):
+        """Native CPU kernel module, or None (TPU / no toolchain).
+
+        On the CPU backend field ops lower to single custom-call
+        instructions (native/field_ffi.cc) — both a ~100x runtime win
+        and the difference between multi-GB and trivial XLA compiles
+        for full-protocol graphs.  Checked at trace time.
+        """
+        if jax.default_backend() != "cpu":
+            return None
+        from . import ffi as _ffi_mod
+
+        return _ffi_mod if _ffi_mod.available() else None
+
     # -- identity / hashing (stable for jit caches) ----------------------
     def __hash__(self):
         return hash(self.spec.name)
@@ -196,6 +210,10 @@ class Field:
     # Ring operations
     # ------------------------------------------------------------------
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        ffi = self._ffi()
+        if ffi is not None:
+            a, b = jnp.broadcast_arrays(a, b)
+            return ffi.binary("add", ffi.field_id(self.spec.name), a, b)
         limbs, carry = self._carry(a + b)
         return self._cond_sub_p(limbs, carry)
 
@@ -203,6 +221,10 @@ class Field:
         """a - b mod p computed as (a + p) - b with per-column +2^16 bias.
 
         Backend-dependent carry chain (see _carry)."""
+        ffi = self._ffi()
+        if ffi is not None:
+            a, b = jnp.broadcast_arrays(a, b)
+            return ffi.binary("sub", ffi.field_id(self.spec.name), a, b)
         p = jnp.asarray(self._p_np, dtype=jnp.uint32)
         cols = a + p + (MASK + jnp.uint32(1)) - b  # each column in [1, 2^18)
         if jax.default_backend() == "cpu":
@@ -235,7 +257,13 @@ class Field:
         elementwise kernel (a lax.scan costs an HBM round-trip per limb
         iteration, measured ~1.6x slower); on CPU the scan form is kept
         because CPU XLA takes ~80 s to compile the ~1500-op unrolled
-        graph (vs seconds for the scan)."""
+        graph (vs seconds for the scan); with the native FFI kernel
+        available (the normal case) a CPU multiply is one custom-call
+        instruction (fields/ffi.py)."""
+        ffi = self._ffi()
+        if ffi is not None:
+            a, b = jnp.broadcast_arrays(a, b)
+            return ffi.binary("mul", ffi.field_id(self.spec.name), a, b)
         if jax.default_backend() == "cpu":
             return self._mul_scan(a, b)
         return self._mul_unrolled(a, b)
@@ -335,6 +363,9 @@ class Field:
 
     def inv(self, a: jnp.ndarray) -> jnp.ndarray:
         """Batched inversion by Fermat (a^(p-2)); inv(0) = 0."""
+        ffi = self._ffi()
+        if ffi is not None:
+            return ffi.inv(ffi.field_id(self.spec.name), a)
         return self.pow_const(a, self.p - 2)
 
     def batch_inv(self, a: jnp.ndarray) -> jnp.ndarray:

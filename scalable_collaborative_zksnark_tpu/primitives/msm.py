@@ -181,8 +181,35 @@ def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8) -> P
     """Batched MSM: points [..., N], scalars [..., N, L] (standard form).
 
     Returns PointJ [...]. Batch dims are vmapped; each instance runs the
-    sort+scan Pippenger above.
+    sort+scan Pippenger above.  On CPU the whole batched MSM is one
+    native Pippenger custom call (curves/g1.py::_ffi).
     """
+    ffi = curve._ffi()
+    if ffi is not None:
+        N = scalars_std.shape[-2]
+        # batch dims align as PREFIXES (extra scalar batch dims broadcast
+        # the points), matching _msm_batched's vmap nest below
+        pb = points.x.shape[:-2]
+        sbsh = scalars_std.shape[:-2]
+        bshape = sbsh if len(sbsh) >= len(pb) else pb
+        pts = jax.tree.map(
+            lambda a: jnp.broadcast_to(
+                a.reshape(pb + (1,) * (len(bshape) - len(pb)) + a.shape[-2:]),
+                bshape + a.shape[-2:],
+            ),
+            points,
+        )
+        sb = jnp.broadcast_to(
+            scalars_std.reshape(
+                sbsh + (1,) * (len(bshape) - len(sbsh)) + scalars_std.shape[-2:]
+            ),
+            bshape + scalars_std.shape[-2:],
+        )
+        out_shape = bshape + (curve.fq.L,)
+        ox, oy, oz = ffi.g1_op(
+            0, curve._ffi_fid(ffi), pts.x, pts.y, pts.z, sb, out_shape, N, 1
+        )
+        return PointJ(ox, oy, oz)
     N = scalars_std.shape[-2]
     if N < MIN_MSM_SIZE:
         padn = MIN_MSM_SIZE - N
