@@ -42,7 +42,11 @@ class Curve:
 
     def __init__(self, name: str, fq: Field, b: int, fr: Field):
         self.name = name
-        self.fq = fq
+        # Group-law arithmetic always sits inside scans (scalar_mul bits,
+        # MSM windows, tree sums), where an unrolled CIOS body per mul
+        # inflates XLA:TPU compiles to ~16 min per executable; a compact
+        # (scan-form) field keeps those bodies small (see Field.__init__).
+        self.fq = get_field(fq.spec.name, compact=True)
         self.fr = fr
         self.b = b
         # trace-once caching for the group law (see Field.__init__ note);

@@ -51,8 +51,16 @@ class Field:
     it can be safely closed over by jitted functions.
     """
 
-    def __init__(self, spec: FieldSpec):
+    def __init__(self, spec: FieldSpec, compact: bool = False):
+        """``compact``: always use the scan-form limb loops, regardless of
+        backend.  Unrolled CIOS is ~1.6x faster standalone on TPU, but a
+        ``lax.scan`` body containing dozens of unrolled muls (the curve
+        group law inside scalar_mul/MSM scans) produces ~100k-op HLO that
+        takes ~16 MINUTES of XLA:TPU compile; the scan form compiles in
+        seconds.  Curve ops therefore use a compact Field for their
+        internal arithmetic (curves/g1.py)."""
         self.spec = spec
+        self.compact = compact
         self.L = spec.num_limbs
         self.p = spec.modulus
         self._p_np = spec.p_limbs
@@ -88,13 +96,17 @@ class Field:
 
     # -- identity / hashing (stable for jit caches) ----------------------
     def __hash__(self):
-        return hash(self.spec.name)
+        return hash((self.spec.name, self.compact))
 
     def __eq__(self, other):
-        return isinstance(other, Field) and self.spec.name == other.spec.name
+        return (
+            isinstance(other, Field)
+            and self.spec.name == other.spec.name
+            and self.compact == other.compact
+        )
 
     def __repr__(self):
-        return f"Field({self.spec.name})"
+        return f"Field({self.spec.name}{', compact' if self.compact else ''})"
 
     # ------------------------------------------------------------------
     # Host conversions
@@ -153,7 +165,7 @@ class Field:
         one memory pass — measured ~100x for `add`); scan on CPU, where
         unrolled bodies inflate every enclosing scan's compile time.
         """
-        if jax.default_backend() == "cpu":
+        if self.compact or jax.default_backend() == "cpu":
             def body(c, col):
                 s = col + c
                 return s >> LIMB_BITS, s & MASK
@@ -174,7 +186,7 @@ class Field:
 
         Returns (diff mod 2^(16L), borrow).  Backend-dependent (see _carry).
         """
-        if jax.default_backend() == "cpu":
+        if self.compact or jax.default_backend() == "cpu":
             b = jnp.asarray(b_np, dtype=jnp.uint32)
 
             def body(borrow, ab):
@@ -227,7 +239,7 @@ class Field:
             return ffi.binary("sub", ffi.field_id(self.spec.name), a, b)
         p = jnp.asarray(self._p_np, dtype=jnp.uint32)
         cols = a + p + (MASK + jnp.uint32(1)) - b  # each column in [1, 2^18)
-        if jax.default_backend() == "cpu":
+        if self.compact or jax.default_backend() == "cpu":
             def body(c, col):
                 s = col + c  # c is the bias-corrected carry (may be -1)
                 return (s >> LIMB_BITS) - jnp.uint32(1), s & MASK
@@ -264,7 +276,7 @@ class Field:
         if ffi is not None:
             a, b = jnp.broadcast_arrays(a, b)
             return ffi.binary("mul", ffi.field_id(self.spec.name), a, b)
-        if jax.default_backend() == "cpu":
+        if self.compact or jax.default_backend() == "cpu":
             return self._mul_scan(a, b)
         return self._mul_unrolled(a, b)
 
@@ -460,7 +472,7 @@ class Field:
 
 
 @functools.lru_cache(maxsize=None)
-def get_field(name: str) -> Field:
+def get_field(name: str, compact: bool = False) -> Field:
     from .config import FIELDS
 
-    return Field(FIELDS[name])
+    return Field(FIELDS[name], compact=compact)

@@ -100,3 +100,38 @@ def test_encode_decode_random():
     ints = F.array_to_ints(r)
     back = F.array_from_ints(list(ints))
     assert np.array_equal(np.asarray(r), np.asarray(back))
+
+
+def test_ffi_vs_pure_paths():
+    """The native FFI kernels and the pure-JAX limb path must agree.
+
+    The pure path is what runs on TPU; the FFI path is what runs on CPU
+    (fields/ffi.py) — divergence would mean CPU tests no longer validate
+    the TPU arithmetic.
+    """
+    from scalable_collaborative_zksnark_tpu.fields import ffi
+
+    if not ffi.available():
+        import pytest
+
+        pytest.skip("native FFI toolchain unavailable")
+    F = get_field("bls12_381_fr")
+    xs = rand_ints(F, 32, 11) + [0, 1, F.p - 1]
+    ys = rand_ints(F, 32, 12) + [F.p - 1, 0, F.p - 1]
+    a, b = F.array_from_ints(xs), F.array_from_ints(ys)
+    got = {
+        "mul": F.mul(a, b),
+        "add": F.add(a, b),
+        "sub": F.sub(a, b),
+        "inv": F.inv(a),
+    }
+    pure = {
+        "mul": F._mul_scan(a, b),
+        "add": F._cond_sub_p(*F._carry(a + b)),
+        "inv": F.pow_const(a, F.p - 2),
+    }
+    for k in pure:
+        assert (np.asarray(got[k]) == np.asarray(pure[k])).all(), k
+    subs = F.array_to_ints(got["sub"])
+    for i in range(len(xs)):
+        assert subs[i] == (xs[i] - ys[i]) % F.p
