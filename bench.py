@@ -62,6 +62,10 @@ def main() -> None:
         pk_merge,
     )
 
+    from scalable_collaborative_zksnark_tpu.utils import timer
+
+    timer.enable(True)  # Start:/End: trace lines on stderr (timer.rs parity)
+
     n, l = args.n, args.l
     N = 8 * l
     net = PartyNet(N, mode="leader")

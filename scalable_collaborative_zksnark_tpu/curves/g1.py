@@ -178,6 +178,71 @@ class Curve:
         out = sel(p2, out, inf1)
         return out
 
+    def add_mixed(self, p1: PointJ, p2: PointJ) -> PointJ:
+        """p1 (Jacobian) + p2 with z2 ∈ {0, 1} (affine or infinity).
+
+        madd-2007-bl: saves ~1/3 of the field muls of the general add.
+        Used by the bucket-serial MSM where all input points are
+        pre-normalized to affine (msm.py).
+        """
+        F = self.fq
+        X1, Y1, Z1 = p1
+        X2, Y2, Z2 = p2
+        Z1Z1 = F.sqr(Z1)
+        U2 = F.mul(X2, Z1Z1)
+        S2 = F.mul(F.mul(Y2, Z1), Z1Z1)
+        H = F.sub(U2, X1)
+        r = F.sub(S2, Y1)
+        HH = F.sqr(H)
+        I = F.add(F.add(HH, HH), F.add(HH, HH))
+        J = F.mul(H, I)
+        r2 = F.add(r, r)
+        V = F.mul(X1, I)
+        X3 = F.sub(F.sub(F.sqr(r2), J), F.add(V, V))
+        Y3 = F.sub(F.mul(r2, F.sub(V, X3)), F.add(F.mul(Y1, J), F.mul(Y1, J)))
+        Z3 = F.mul(F.add(Z1, Z1), H)  # 2 Z1 H (z2 == 1 by contract)
+        gen = PointJ(X3, Y3, Z3)
+
+        inf1 = F.is_zero(Z1)[..., None]
+        inf2 = F.is_zero(Z2)[..., None]
+        same_x = jnp.logical_and(
+            F.is_zero(H), jnp.logical_not(F.is_zero(Z1) | F.is_zero(Z2))
+        )
+        is_dbl = jnp.logical_and(same_x, F.is_zero(r))[..., None]
+        is_cancel = jnp.logical_and(same_x, jnp.logical_not(F.is_zero(r)))[..., None]
+
+        dbl = self.double(p1)
+
+        def sel(a, b, cond):
+            return jax.tree.map(lambda u, v: jnp.where(cond, u, v), a, b)
+
+        out = sel(dbl, gen, is_dbl)
+        out = sel(self.infinity(X3.shape[:-1]), out, is_cancel)
+        out = sel(p1, out, inf2)
+        out = sel(p2, out, inf1)
+        return out
+
+    def normalize(self, pt: PointJ) -> PointJ:
+        """Jacobian -> affine-or-infinity (z ∈ {0, 1}), batched.
+
+        One batched inversion for the whole array (batch_inv over a
+        flattened axis); infinity stays (0, 1, 0).
+        """
+        F = self.fq
+        shape = pt.x.shape[:-1]
+        flat = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[-1:]), pt)
+        zinv = F.batch_inv(flat.z)  # inv(0) = 0
+        zi2 = F.sqr(zinv)
+        x = F.mul(flat.x, zi2)
+        y = F.mul(flat.y, F.mul(zi2, zinv))
+        inf = F.is_zero(flat.z)[..., None]
+        one = F.ones(flat.z.shape[:-1])
+        z = jnp.where(inf, F.zeros(flat.z.shape[:-1]), one)
+        y = jnp.where(inf, one, y)
+        x = jnp.where(inf, F.zeros(flat.z.shape[:-1]), x)
+        out = PointJ(x, y, z)
+        return jax.tree.map(lambda a: a.reshape(shape + a.shape[-1:]), out)
+
     def neg(self, pt: PointJ) -> PointJ:
         return PointJ(pt.x, self.fq.neg(pt.y), pt.z)
 
@@ -231,6 +296,15 @@ class Curve:
         """
         ffi = self._ffi()
         if ffi is not None:
+            if scalar_std.shape[-1] % 4:  # native kernel wants u64 words
+                padl = 4 - scalar_std.shape[-1] % 4
+                scalar_std = jnp.concatenate(
+                    [
+                        scalar_std,
+                        jnp.zeros(scalar_std.shape[:-1] + (padl,), jnp.uint32),
+                    ],
+                    axis=-1,
+                )
             bshape = jnp.broadcast_shapes(
                 pt.x.shape[:-1], scalar_std.shape[:-1]
             )

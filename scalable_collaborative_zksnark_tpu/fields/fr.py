@@ -94,6 +94,21 @@ class Field:
 
         return _ffi_mod if _ffi_mod.available() else None
 
+    def _pallas(self):
+        """Pallas TPU kernel module, or None (CPU / disabled).
+
+        On TPU, mul/add/sub lower to single Mosaic kernels — opaque to
+        XLA (compile time) and lane-transposed inside (VPU efficiency).
+        Set SCZK_NO_PALLAS=1 to force the pure-jnp limb forms.
+        """
+        import os
+
+        if os.environ.get("SCZK_NO_PALLAS"):
+            return None
+        from . import pallas_fr as _pl_mod
+
+        return _pl_mod if _pl_mod.available() else None
+
     # -- identity / hashing (stable for jit caches) ----------------------
     def __hash__(self):
         return hash((self.spec.name, self.compact))
@@ -226,6 +241,10 @@ class Field:
         if ffi is not None:
             a, b = jnp.broadcast_arrays(a, b)
             return ffi.binary("add", ffi.field_id(self.spec.name), a, b)
+        pk = self._pallas()
+        if pk is not None:
+            a, b = jnp.broadcast_arrays(a, b)
+            return pk.binary("add", self.spec, a, b)
         limbs, carry = self._carry(a + b)
         return self._cond_sub_p(limbs, carry)
 
@@ -237,6 +256,10 @@ class Field:
         if ffi is not None:
             a, b = jnp.broadcast_arrays(a, b)
             return ffi.binary("sub", ffi.field_id(self.spec.name), a, b)
+        pk = self._pallas()
+        if pk is not None:
+            a, b = jnp.broadcast_arrays(a, b)
+            return pk.binary("sub", self.spec, a, b)
         p = jnp.asarray(self._p_np, dtype=jnp.uint32)
         cols = a + p + (MASK + jnp.uint32(1)) - b  # each column in [1, 2^18)
         if self.compact or jax.default_backend() == "cpu":
@@ -276,6 +299,10 @@ class Field:
         if ffi is not None:
             a, b = jnp.broadcast_arrays(a, b)
             return ffi.binary("mul", ffi.field_id(self.spec.name), a, b)
+        pk = self._pallas()
+        if pk is not None:
+            a, b = jnp.broadcast_arrays(a, b)
+            return pk.binary("mul", self.spec, a, b)
         if self.compact or jax.default_backend() == "cpu":
             return self._mul_scan(a, b)
         return self._mul_unrolled(a, b)

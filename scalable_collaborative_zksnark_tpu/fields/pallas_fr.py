@@ -1,0 +1,188 @@
+"""Pallas TPU kernels for limb-vector field arithmetic.
+
+Why kernels instead of the fused jnp forms (fr.py):
+
+* **Compile time.**  An unrolled CIOS multiply is ~2k HLO ops; a curve
+  group-law step contains dozens, and protocol graphs contain thousands
+  — XLA:TPU compiles grow superlinearly (measured 16 min for one
+  1024-point scalar_mul executable).  A ``pallas_call`` is ONE opaque op
+  to XLA; Mosaic compiles the kernel body once per shape.
+* **Lane efficiency.**  Elements are [..., L] u32 16-bit limb vectors;
+  with L = 16/24 in the lane dimension only 16/128 lanes are active.
+  In-kernel the tile is transposed to [L, M] — limbs on sublanes,
+  batch on lanes — so every VPU lane does useful work.
+* **Memory locality.**  The kernel keeps the full accumulator state in
+  VMEM/registers; the scan form of the same loop pays an HBM round trip
+  per limb step.
+
+Layout contract at the boundary is unchanged: uint32 [..., L],
+little-endian 16-bit limbs, Montgomery form.
+
+Reference parity: this layer replaces arkworks' bigint backend
+(reference dist-primitive/Cargo.toml:18-24) on the TPU execution path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import LIMB_BITS, LIMB_MASK, FieldSpec
+
+MASK = jnp.uint32(LIMB_MASK)
+
+# Lane width of one kernel block (batch elements per grid step).
+BLOCK_M = 1024
+
+
+def _mont_mul_tiles(at, bt, p_np, n0inv, L):
+    """CIOS on transposed tiles: at/bt [L, M] -> product [L, M].
+
+    Same column-redundant schedule as fr.Field._mul_unrolled (see the
+    overflow analysis there), expressed over [1, M] limb rows.  All
+    field constants are Python ints (pallas kernels may not close over
+    array constants).
+    """
+    M = at.shape[1]
+    t = [jnp.zeros((M,), jnp.uint32) for _ in range(L + 1)]
+    for i in range(L):
+        ai = at[i]
+        prod = ai[None, :] * bt  # [L, M] exact 32-bit products
+        lo, hi = prod & LIMB_MASK, prod >> LIMB_BITS
+        for j in range(L):
+            t[j] = t[j] + lo[j]
+            t[j + 1] = t[j + 1] + hi[j]
+        m = ((t[0] & LIMB_MASK) * n0inv) & LIMB_MASK
+        for j in range(L):
+            mp = m * p_np[j]
+            t[j] = t[j] + (mp & LIMB_MASK)
+            t[j + 1] = t[j + 1] + (mp >> LIMB_BITS)
+        carry = t[0] >> LIMB_BITS
+        t = t[1:] + [jnp.zeros((M,), jnp.uint32)]
+        t[0] = t[0] + carry
+    return t  # L+1 columns, values < 2^32; caller normalizes
+
+
+def _carry_rows(t_cols, L):
+    """Propagate 16-bit carries over L column rows -> (limbs, carry)."""
+    c = jnp.zeros_like(t_cols[0])
+    limbs = []
+    for j in range(L):
+        s = t_cols[j] + c
+        limbs.append(s & LIMB_MASK)
+        c = s >> LIMB_BITS
+    return limbs, c
+
+
+def _cond_sub_p_rows(limbs, extra, p_np, L):
+    """Reduce < 2p to canonical over rows: limbs list of [M]."""
+    borrow = jnp.zeros_like(limbs[0])
+    diff = []
+    for j in range(L):
+        d = limbs[j] - p_np[j] - borrow
+        borrow = (d >> 31) & 1
+        diff.append(d & LIMB_MASK)
+    take = jnp.logical_or(extra > 0, borrow == 0)
+    return [jnp.where(take, diff[j], limbs[j]) for j in range(L)]
+
+
+def _mul_kernel(a_ref, b_ref, o_ref, *, p_np, n0inv, L):
+    at = a_ref[:]  # [L, M] (transposed outside the kernel; XLA cancels
+    bt = b_ref[:]  # back-to-back transposes between chained kernels)
+    t = _mont_mul_tiles(at, bt, p_np, int(n0inv), L)
+    limbs, carry = _carry_rows(t[:L], L)
+    carry = carry + t[L]
+    out = _cond_sub_p_rows(limbs, carry, p_np, L)
+    o_ref[:] = jnp.stack(out, axis=0)
+
+
+def _add_kernel(a_ref, b_ref, o_ref, *, p_np, L):
+    at = a_ref[:]
+    bt = b_ref[:]
+    cols = at + bt  # [L, M], each < 2^17
+    t = [cols[j] for j in range(L)]
+    limbs, carry = _carry_rows(t, L)
+    out = _cond_sub_p_rows(limbs, carry, p_np, L)
+    o_ref[:] = jnp.stack(out, axis=0)
+
+
+def _sub_kernel(a_ref, b_ref, o_ref, *, p_np, L):
+    at = a_ref[:]
+    bt = b_ref[:]
+    # (a + p) - b with +2^16 column bias, bias-corrected carries
+    c = jnp.zeros_like(at[0])
+    limbs = []
+    for j in range(L):
+        s = at[j] + (p_np[j] + LIMB_MASK + 1) - bt[j] + c
+        limbs.append(s & LIMB_MASK)
+        c = (s >> LIMB_BITS) - 1
+    out = _cond_sub_p_rows(limbs, c, p_np, L)
+    o_ref[:] = jnp.stack(out, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _bin_call(op: str, spec_name: str, m: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from .config import FIELDS
+
+    spec = FIELDS[spec_name]
+    L = spec.num_limbs
+    p_np = tuple(int(v) for v in spec.p_limbs)
+    if op == "mul":
+        kern = functools.partial(_mul_kernel, p_np=p_np, n0inv=spec.n0inv, L=L)
+    elif op == "add":
+        kern = functools.partial(_add_kernel, p_np=p_np, L=L)
+    else:
+        kern = functools.partial(_sub_kernel, p_np=p_np, L=L)
+    grid = max(m // BLOCK_M, 1)
+    bm = min(m, BLOCK_M)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((L, m), jnp.uint32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+    )
+
+
+def binary(op: str, spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise field op via one pallas kernel; a, b same shape.
+
+    The [.., L] -> [L, M] relayout happens OUTSIDE the kernel: XLA
+    fuses it with neighboring ops and cancels the back-to-back
+    transposes between chained field kernels (curve formulas).
+    """
+    shape = a.shape
+    L = shape[-1]
+    m = 1
+    for d in shape[:-1]:
+        m *= d
+    mp = max(((m + 127) // 128) * 128, 128) if m < BLOCK_M else m + ((-m) % BLOCK_M)
+    flat_a = jnp.moveaxis(a.reshape(m, L), -1, 0)  # [L, m]
+    flat_b = jnp.moveaxis(b.reshape(m, L), -1, 0)
+    if mp != m:
+        z = jnp.zeros((L, mp - m), jnp.uint32)
+        flat_a = jnp.concatenate([flat_a, z], axis=1)
+        flat_b = jnp.concatenate([flat_b, z], axis=1)
+    out = _bin_call(op, spec.name, mp)(flat_a, flat_b)  # [L, mp]
+    return jnp.moveaxis(out[:, :m], 0, -1).reshape(shape)
+
+
+def available() -> bool:
+    """Pallas TPU kernels need a real TPU backend."""
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def mul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product via the pallas kernel; shapes must match."""
+    return binary("mul", spec, a, b)

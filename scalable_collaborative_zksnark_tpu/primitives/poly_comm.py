@@ -294,8 +294,18 @@ def srs_random(curve: Curve, n: int, seed: int, n_parties: int = 1,
     g = curve.from_affine_ints([hc.G1_GEN if curve.name == "bls12_381_g1" else hc.G1_GEN])
 
     def rand_points_flat(count, sd):
-        """ONE batched scalar_mul for `count` points (one compile/dispatch)."""
-        ks = F.decode(F.random((count,), sd))
+        """ONE batched scalar_mul for `count` points (one compile/dispatch).
+
+        Scalars are random 32-bit values as 2-limb standard-form arrays:
+        scalar_mul's scan length follows the limb count, so this is 8x
+        cheaper than full-width scalars while still giving distinct
+        structure-free points — all the reference's `new_toy/new_random`
+        SRS constructors promise (dpoly_comm.rs:115-233).
+        """
+        rng = np.random.RandomState(sd & 0x7FFFFFFF)
+        ks = jnp.asarray(
+            rng.randint(0, 1 << 16, size=(count, 2)).astype(np.uint32)
+        )
         base = jax.tree.map(lambda a: jnp.broadcast_to(a, (count,) + a.shape[1:]), g)
         return curve.scalar_mul(base, ks)
 

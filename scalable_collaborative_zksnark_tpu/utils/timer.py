@@ -11,6 +11,7 @@ spans show up in TPU profiler traces.
 from __future__ import annotations
 
 import contextlib
+import sys
 import time
 
 import jax
@@ -40,7 +41,7 @@ def trace(label: str, enabled: bool = True):
     global _INDENT
     show = _ENABLED and enabled
     if show:
-        print("  " * _INDENT + f"Start: {label}", flush=True)
+        print("  " * _INDENT + f"Start: {label}", flush=True, file=sys.stderr)
         _INDENT += 1
     t0 = time.perf_counter()
     with jax.named_scope(label.replace(" ", "_")):
@@ -49,4 +50,8 @@ def trace(label: str, enabled: bool = True):
     _RECORDS.append((label, dt))
     if show:
         _INDENT -= 1
-        print("  " * _INDENT + f"End:   {label} {dt*1e3:.3f}ms", flush=True)
+        print(
+            "  " * _INDENT + f"End:   {label} {dt*1e3:.3f}ms",
+            flush=True,
+            file=sys.stderr,
+        )

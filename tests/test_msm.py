@@ -67,3 +67,40 @@ def test_d_msm_on_shares():
     assert C.to_affine_ints(secrets) == [expect] * l
     # one leader round: gather + scatter
     assert net.rounds == 2
+
+
+def test_bucket_serial_msm_vs_oracle():
+    """The TPU bucket-serial Pippenger (pure-JAX path) must match the
+    native oracle, including zero scalars, infinity inputs, duplicate
+    points (bucket is_dbl path), and both window sizes."""
+    from scalable_collaborative_zksnark_tpu.primitives.msm import _msm_1d_buckets
+    from scalable_collaborative_zksnark_tpu import native as no
+
+    if not no.available():
+        pytest.skip("native oracle unavailable")
+    cv = bls12_381_g1()
+    F = cv.fr
+    N = 280
+    ks = [(5 * i * i + 11) % F.p for i in range(1, N + 1)]
+    host_pts = [no.g1_mul(hc.G1_GEN, k) for k in ks]
+    host_pts[3] = None  # infinity input
+    host_pts[9] = host_pts[10]  # duplicate
+    pts = cv.from_affine_ints(host_pts)
+    si = [(13 * i * i * i + 7) % F.p for i in range(N)]
+    si[5] = 0
+    scal = jnp.asarray(
+        np.stack(
+            [
+                np.array([(s >> (16 * j)) & 0xFFFF for j in range(F.L)], np.uint32)
+                for s in si
+            ]
+        )
+    )
+    want = no.g1_msm(
+        [p for p in host_pts if p is not None],
+        [s for p, s in zip(host_pts, si) if p is not None],
+    )
+    for c in (8, 4):
+        r = _msm_1d_buckets(cv, pts, scal, c)
+        got = cv.to_affine_ints(jax.tree.map(lambda a: a[None], r))[0]
+        assert got == want, c
