@@ -36,9 +36,14 @@ def main() -> None:
     ap.add_argument("--l", type=int, default=8, help="packing factor (N = 8l)")
     ap.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
     ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--eager", action="store_true",
-                    help="run as eagerly dispatched jitted primitives "
-                         "(no end-to-end jit; resilient to huge graphs)")
+    ap.add_argument("--mode", choices=("phased", "full", "eager"),
+                    default="phased",
+                    help="phased: one jitted executable per protocol phase "
+                         "(default; whole-prover executables exceed PJRT's "
+                         "2 GiB serialization cap on the remote-TPU path); "
+                         "full: single end-to-end jit; eager: per-primitive "
+                         "dispatch")
+    ap.add_argument("--eager", action="store_true", help="alias for --mode eager")
     args = ap.parse_args()
 
     if args.smoke:
@@ -53,6 +58,7 @@ def main() -> None:
 
     from scalable_collaborative_zksnark_tpu.hyperplonk import (
         dhyperplonk,
+        dhyperplonk_phased,
         packed_proving_parameters,
     )
     from scalable_collaborative_zksnark_tpu.mpc.net import PartyNet
@@ -81,24 +87,53 @@ def main() -> None:
     # and what a production prover would deploy).
     arrays = pk_arrays(pk)
 
-    def step(arrs):
-        # return the FULL proof bundle: anything not returned is dead code
-        # that XLA eliminates, silently shrinking the benchmark
-        return dhyperplonk(n, pk_merge(pk, arrs), net)
+    mode = "eager" if args.eager else args.mode
 
-    step_jit = step if args.eager else jax.jit(step)
+    if mode == "phased":
+        step_jit = lambda arrs: dhyperplonk_phased(n, pk, net)
+    else:
+        def step(arrs):
+            # return the FULL proof bundle: anything not returned is dead
+            # code that XLA eliminates, silently shrinking the benchmark
+            return dhyperplonk(n, pk_merge(pk, arrs), net)
+
+        step_jit = step if mode == "eager" else jax.jit(step)
+
+    # block_until_ready is NOT a reliable barrier over the remote-TPU
+    # tunnel (returns before device completion); a jitted checksum that
+    # consumes every output leaf + device_get of the scalar is.
+    import functools as _ft
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _checksum(out):
+        leaves = jax.tree.leaves(out)
+        return _ft.reduce(
+            lambda a, b: a + b.ravel()[0].astype(jnp.uint32),
+            leaves,
+            jnp.uint32(0),
+        )
+
+    def barrier(out):
+        return jax.device_get(_checksum(out))
+
     t0 = time.time()
     out = step_jit(arrays)
-    jax.block_until_ready(out)
+    barrier(out)
     print(f"# compile + first run: {time.time() - t0:.1f}s", file=sys.stderr)
+    # comm is counted while traces/eager collectives run; the first full
+    # prove has seen them all — snapshot per-prove totals here
+    comm = net.comm(0)
+    print(f"# comm per prove: {comm}", file=sys.stderr)
 
     best = float("inf")
     for i in range(max(args.repeat, 1)):
         t0 = time.time()
         out = step_jit(arrays)
-        jax.block_until_ready(out)
+        barrier(out)
         dt = time.time() - t0
-        print(f"# run {i}: {dt:.2f}s  comm={net.comm(0)}", file=sys.stderr)
+        print(f"# run {i}: {dt:.2f}s", file=sys.stderr)
         best = min(best, dt)
 
     # Reference per-party estimate: 93.218 s / N at its (unrecorded) trace

@@ -80,6 +80,18 @@ class Curve:
     def _ffi_fid(self, ffi):
         return ffi.field_id(self.fq.spec.name)
 
+    def _pallas(self):
+        """Fused Pallas point-op kernels on TPU (curves/pallas_g1.py):
+        a whole group-law formula per kernel launch, VMEM-resident."""
+        import os
+
+        if os.environ.get("SCZK_NO_PALLAS"):
+            return None
+        from ..fields import pallas_fr
+        from . import pallas_g1
+
+        return pallas_g1 if pallas_fr.available() else None
+
     # -- constructors ----------------------------------------------------
     def infinity(self, shape=()) -> PointJ:
         z = self.fq.zeros(shape)
@@ -121,6 +133,12 @@ class Curve:
 
     # -- core group law --------------------------------------------------
     def double(self, pt: PointJ) -> PointJ:
+        pg = self._pallas()
+        if pg is not None:
+            x, y, z = pg.point_op(
+                "double", self.fq.spec.name, (pt.x, pt.y, pt.z)
+            )
+            return PointJ(x, y, z)
         F = self.fq
         X, Y, Z = pt
         A = F.sqr(X)
@@ -140,6 +158,13 @@ class Curve:
         return PointJ(X3, Y3, Z3)
 
     def add(self, p1: PointJ, p2: PointJ) -> PointJ:
+        pg = self._pallas()
+        if pg is not None:
+            b = jnp.broadcast_shapes(p1.x.shape, p2.x.shape)
+            c1 = [jnp.broadcast_to(a, b) for a in p1]
+            c2 = [jnp.broadcast_to(a, b) for a in p2]
+            x, y, z = pg.point_op("add", self.fq.spec.name, (*c1, *c2))
+            return PointJ(x, y, z)
         F = self.fq
         X1, Y1, Z1 = p1
         X2, Y2, Z2 = p2
@@ -185,6 +210,13 @@ class Curve:
         Used by the bucket-serial MSM where all input points are
         pre-normalized to affine (msm.py).
         """
+        pg = self._pallas()
+        if pg is not None:
+            x, y, z = pg.point_op(
+                "add_mixed", self.fq.spec.name,
+                (p1.x, p1.y, p1.z, p2.x, p2.y, p2.z),
+            )
+            return PointJ(x, y, z)
         F = self.fq
         X1, Y1, Z1 = p1
         X2, Y2, Z2 = p2
@@ -221,6 +253,20 @@ class Curve:
         out = sel(p1, out, inf2)
         out = sel(p2, out, inf1)
         return out
+
+    def add_mixed_masked(self, p1: PointJ, p2: PointJ, valid) -> PointJ:
+        """valid ? p1 + p2(mixed) : p1 — one fused kernel on TPU.
+
+        This is the bucket-serial MSM accumulate step; fusing the select
+        avoids materializing the unselected sum through HBM."""
+        pg = self._pallas()
+        if pg is not None:
+            x, y, z = pg.point_op(
+                "add_masked", self.fq.spec.name,
+                (p1.x, p1.y, p1.z, p2.x, p2.y, p2.z), mask=valid,
+            )
+            return PointJ(x, y, z)
+        return self.select(valid, self.add_mixed(p1, p2), p1)
 
     def normalize(self, pt: PointJ) -> PointJ:
         """Jacobian -> affine-or-infinity (z ∈ {0, 1}), batched.

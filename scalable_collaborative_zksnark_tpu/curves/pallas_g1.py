@@ -1,0 +1,235 @@
+"""Fused Pallas TPU kernels for the G1 group law.
+
+One kernel per point operation (add / double / masked mixed-add)
+instead of ~12-16 separate field-kernel launches: the whole formula
+runs on VMEM-resident [L, M] tiles, so intermediates never round-trip
+through HBM and the per-op launch overhead is paid once.  This is the
+hot inner step of the bucket-serial MSM (primitives/msm.py) and of
+scalar_mul / tree-sum scans.
+
+Formulas mirror curves/g1.py exactly (dbl-2009-l, add-2007-bl,
+madd-2007-bl with the same complete-case selects); field math comes
+from the shared tile helpers in fields/pallas_fr.py.  Layout contract:
+coordinates cross the boundary as uint32 [..., L] Montgomery limb
+arrays, relayout to [L, M] happens outside the kernels (XLA cancels
+back-to-back transposes between chained kernels).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..fields.pallas_fr import (
+    BLOCK_M,
+    add_t,
+    is_zero_t,
+    mul_t,
+    sub_t,
+)
+
+# Jacobian point on tiles: dict of coord name -> [L, M] array.
+
+
+def _double_t(X, Y, Z, p_np, n0inv, L):
+    mul = lambda a, b: mul_t(a, b, p_np, n0inv, L)
+    add = lambda a, b: add_t(a, b, p_np, L)
+    sub = lambda a, b: sub_t(a, b, p_np, L)
+    A = mul(X, X)
+    B = mul(Y, Y)
+    C = mul(B, B)
+    t = add(X, B)
+    t = mul(t, t)
+    D0 = sub(sub(t, A), C)
+    D = add(D0, D0)
+    E = add(add(A, A), A)
+    G = mul(E, E)
+    X3 = sub(G, add(D, D))
+    C2 = add(C, C)
+    C4 = add(C2, C2)
+    C8 = add(C4, C4)
+    Y3 = sub(mul(E, sub(D, X3)), C8)
+    YZ = mul(Y, Z)
+    Z3 = add(YZ, YZ)
+    inf = is_zero_t(Z)[None, :]
+    Z3 = jnp.where(inf, jnp.zeros_like(Z3), Z3)
+    return X3, Y3, Z3
+
+
+def _select_t(cond_m, a, b):
+    """cond [M] -> per-coordinate where over [L, M]."""
+    c = cond_m[None, :]
+    return tuple(jnp.where(c, u, v) for u, v in zip(a, b))
+
+
+def _add_t(X1, Y1, Z1, X2, Y2, Z2, p_np, n0inv, L, one_rows, mixed: bool):
+    """General or mixed (Z2 in {0,1}) complete add on tiles."""
+    mul = lambda a, b: mul_t(a, b, p_np, n0inv, L)
+    add = lambda a, b: add_t(a, b, p_np, L)
+    sub = lambda a, b: sub_t(a, b, p_np, L)
+    Z1Z1 = mul(Z1, Z1)
+    if mixed:
+        U1 = X1
+        S1 = Y1
+    else:
+        Z2Z2 = mul(Z2, Z2)
+        U1 = mul(X1, Z2Z2)
+        S1 = mul(mul(Y1, Z2), Z2Z2)
+    U2 = mul(X2, Z1Z1)
+    S2 = mul(mul(Y2, Z1), Z1Z1)
+    H = sub(U2, U1)
+    r = sub(S2, S1)
+    HH = mul(H, H)
+    I = add(add(HH, HH), add(HH, HH))
+    J = mul(H, I)
+    r2 = add(r, r)
+    V = mul(U1, I)
+    X3 = sub(sub(mul(r2, r2), J), add(V, V))
+    SJ = mul(S1, J)
+    Y3 = sub(mul(r2, sub(V, X3)), add(SJ, SJ))
+    if mixed:
+        Z1H = mul(Z1, H)
+        Z3 = add(Z1H, Z1H)
+    else:
+        ZS = add(Z1, Z2)
+        Z3 = mul(sub(sub(mul(ZS, ZS), Z1Z1), Z2Z2), H)
+
+    inf1 = is_zero_t(Z1)
+    inf2 = is_zero_t(Z2)
+    both_fin = jnp.logical_not(jnp.logical_or(inf1, inf2))
+    same_x = jnp.logical_and(is_zero_t(H), both_fin)
+    r_zero = is_zero_t(r)
+    is_dbl = jnp.logical_and(same_x, r_zero)
+    is_cancel = jnp.logical_and(same_x, jnp.logical_not(r_zero))
+
+    dX, dY, dZ = _double_t(X1, Y1, Z1, p_np, n0inv, L)
+    zero = jnp.zeros_like(X3)
+    out = _select_t(is_dbl, (dX, dY, dZ), (X3, Y3, Z3))
+    out = _select_t(is_cancel, (zero, one_rows, zero), out)
+    out = _select_t(inf2, (X1, Y1, Z1), out)
+    out = _select_t(inf1, (X2, Y2, Z2), out)
+    return out
+
+
+def _add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, *, p_np, n0inv, L, r_np,
+                mixed):
+    # Montgomery 1 (= R mod p) as literal per-limb rows
+    one_rows = jnp.stack(
+        [jnp.full_like(x1[0, :], r_np[j]) for j in range(L)], axis=0
+    )
+    X3, Y3, Z3 = _add_t(
+        x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], p_np, n0inv, L, one_rows,
+        mixed,
+    )
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
+
+
+def _add_masked_kernel(x1, y1, z1, x2, y2, z2, m, ox, oy, oz, *, p_np, n0inv,
+                       L, r_np):
+    """acc <- valid ? acc + P2(mixed) : acc  (the MSM accumulate step)."""
+    one_rows = jnp.stack(
+        [jnp.full_like(x1[0, :], r_np[j]) for j in range(L)], axis=0
+    )
+    X3, Y3, Z3 = _add_t(
+        x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], p_np, n0inv, L, one_rows,
+        True,
+    )
+    valid = m[:][0] > 0  # [M]
+    out = _select_t(valid, (X3, Y3, Z3), (x1[:], y1[:], z1[:]))
+    ox[:] = out[0]
+    oy[:] = out[1]
+    oz[:] = out[2]
+
+
+def _double_kernel(x1, y1, z1, ox, oy, oz, *, p_np, n0inv, L):
+    X3, Y3, Z3 = _double_t(x1[:], y1[:], z1[:], p_np, n0inv, L)
+    ox[:] = X3
+    oy[:] = Y3
+    oz[:] = Z3
+
+
+@functools.lru_cache(maxsize=None)
+def _point_call(op: str, fq_name: str, m: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..fields.config import FIELDS
+
+    spec = FIELDS[fq_name]
+    L = spec.num_limbs
+    p_np = tuple(int(v) for v in spec.p_limbs)
+    r_np = tuple(int(v) for v in spec.r_limbs)
+    n0inv = int(spec.n0inv)
+    grid = max(m // BLOCK_M, 1)
+    bm = min(m, BLOCK_M)
+    coord = pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
+    if op == "double":
+        kern = functools.partial(_double_kernel, p_np=p_np, n0inv=n0inv, L=L)
+        n_in = 3
+        specs = [coord] * 3
+    elif op == "add_masked":
+        kern = functools.partial(
+            _add_masked_kernel, p_np=p_np, n0inv=n0inv, L=L, r_np=r_np
+        )
+        n_in = 7
+        specs = [coord] * 6 + [
+            pl.BlockSpec((1, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ]
+    else:  # "add" | "add_mixed"
+        kern = functools.partial(
+            _add_kernel, p_np=p_np, n0inv=n0inv, L=L, r_np=r_np,
+            mixed=(op == "add_mixed"),
+        )
+        n_in = 6
+        specs = [coord] * 6
+    from ..fields.pallas_fr import _interpret
+
+    return pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((L, m), jnp.uint32)] * 3,
+        grid=(grid,),
+        in_specs=specs,
+        out_specs=[coord] * 3,
+        interpret=_interpret(),
+    )
+
+
+def _to_tiles(arrs, L):
+    """[..., L] arrays -> ([L, mp] arrays, m, shape) with padding."""
+    shape = arrs[0].shape
+    m = 1
+    for d in shape[:-1]:
+        m *= d
+    mp = max(((m + 127) // 128) * 128, 128) if m < BLOCK_M else m + ((-m) % BLOCK_M)
+    out = []
+    for a in arrs:
+        t = jnp.moveaxis(a.reshape(m, L), -1, 0)
+        if mp != m:
+            t = jnp.concatenate([t, jnp.zeros((L, mp - m), jnp.uint32)], axis=1)
+        out.append(t)
+    return out, m, shape
+
+
+def _from_tiles(tiles, m, shape):
+    return tuple(
+        jnp.moveaxis(t[:, :m], 0, -1).reshape(shape) for t in tiles
+    )
+
+
+def point_op(op: str, fq_name: str, coords, mask=None):
+    """Run a fused point kernel.  coords: tuple of [..., L] arrays."""
+    L = coords[0].shape[-1]
+    tiles, m, shape = _to_tiles(list(coords), L)
+    if mask is not None:
+        mk = mask.reshape(1, -1).astype(jnp.uint32)
+        mp = tiles[0].shape[1]
+        if mk.shape[1] != mp:
+            mk = jnp.concatenate(
+                [mk, jnp.zeros((1, mp - mk.shape[1]), jnp.uint32)], axis=1
+            )
+        tiles = tiles + [mk]
+    out = _point_call(op, fq_name, tiles[0].shape[1])(*tiles)
+    return _from_tiles(out, m, shape)

@@ -89,6 +89,36 @@ def _cond_sub_p_rows(limbs, extra, p_np, L):
     return [jnp.where(take, diff[j], limbs[j]) for j in range(L)]
 
 
+# -- value-level tile helpers (shared with curves/pallas_g1.py) -----------
+def mul_t(at, bt, p_np, n0inv, L):
+    """[L, M] x [L, M] -> [L, M] Montgomery product (kernel-internal)."""
+    t = _mont_mul_tiles(at, bt, p_np, n0inv, L)
+    limbs, carry = _carry_rows(t[:L], L)
+    carry = carry + t[L]
+    return jnp.stack(_cond_sub_p_rows(limbs, carry, p_np, L), axis=0)
+
+
+def add_t(at, bt, p_np, L):
+    cols = at + bt
+    limbs, carry = _carry_rows([cols[j] for j in range(L)], L)
+    return jnp.stack(_cond_sub_p_rows(limbs, carry, p_np, L), axis=0)
+
+
+def sub_t(at, bt, p_np, L):
+    c = jnp.zeros_like(at[0])
+    limbs = []
+    for j in range(L):
+        s = at[j] + (p_np[j] + LIMB_MASK + 1) - bt[j] + c
+        limbs.append(s & LIMB_MASK)
+        c = (s >> LIMB_BITS) - 1
+    return jnp.stack(_cond_sub_p_rows(limbs, c, p_np, L), axis=0)
+
+
+def is_zero_t(at):
+    """[L, M] -> [M] bool."""
+    return jnp.all(at == 0, axis=0)
+
+
 def _mul_kernel(a_ref, b_ref, o_ref, *, p_np, n0inv, L):
     at = a_ref[:]  # [L, M] (transposed outside the kernel; XLA cancels
     bt = b_ref[:]  # back-to-back transposes between chained kernels)
@@ -149,6 +179,7 @@ def _bin_call(op: str, spec_name: str, m: int):
             pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
     )
 
 
@@ -175,8 +206,19 @@ def binary(op: str, spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndar
     return jnp.moveaxis(out[:, :m], 0, -1).reshape(shape)
 
 
+def _interpret() -> bool:
+    """Interpreter mode: runs the kernels on CPU for CI coverage."""
+    import os
+
+    return bool(os.environ.get("SCZK_PALLAS_INTERPRET"))
+
+
 def available() -> bool:
-    """Pallas TPU kernels need a real TPU backend."""
+    """Pallas TPU kernels need a real TPU backend (or interpret mode)."""
+    import os
+
+    if os.environ.get("SCZK_PALLAS_INTERPRET"):
+        return True
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover

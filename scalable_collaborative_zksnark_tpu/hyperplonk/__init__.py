@@ -7,6 +7,7 @@ from .collaborative import (
     cpermcheck,
     dhyperplonk,
     dhyperplonk_data_parallel,
+    dhyperplonk_phased,
     dpermcheck,
 )
 from .local import LocalInputs, local_hyperplonk, local_hyperplonkpp, local_inputs
@@ -18,6 +19,7 @@ __all__ = [
     "cpermcheck",
     "dhyperplonk",
     "dhyperplonk_data_parallel",
+    "dhyperplonk_phased",
     "dpermcheck",
     "local_hyperplonk",
     "local_hyperplonkpp",

@@ -98,23 +98,22 @@ def _subtree_views(subtree: jnp.ndarray):
     return subtree[..., H:, :], subtree[..., 0::2, :], subtree[..., 1::2, :]
 
 
-def _wire_identity_distributed(
+def _wire_part_a(
     n: int,
     pk: PackedProvingParameters,
     net: PartyNet,
     local_s_p: jnp.ndarray,
     s_shares: jnp.ndarray,
-    eq_top: jnp.ndarray,
     c: int,
 ):
-    """Steps 2.b-2.e shared by dhyperplonk / _data_parallel / dpermcheck
-    (dhyperplonk.rs:296-511)."""
+    """Wire identity 2.b-2.e.1 (dhyperplonk.rs:296-413): s commit/opens,
+    num/den/h, accumulation tree, the 8-poly commit group and the direct
+    zerocheck.  Returns the lists plus the tree slices for parts b/c."""
     F = pk.pp.field
     pp = pk.pp
     proofs: List = []
     commits: List = []
     opens: List = []
-    s_bits = net.n.bit_length() - 1
 
     # 2.b commit s with the distributed PCS
     commits.append(pk.d_commitment.d_commit(net, local_s_p, c=c))
@@ -152,34 +151,67 @@ def _wire_identity_distributed(
         pk.challenge_r2,
     )
     proofs.extend(_unstack(z3, 3, axis=0))
+    return proofs, commits, opens, (v1x, vx0, vx1, leader_tree)
 
-    # 2.e.2 layered zerocheck on q(x) = v(1,x) - v(x,0)*v(x,1)
-    # (dhyperplonk.rs:415-478): halving slices, challenge suffix r2[i:];
-    # each layer's 3 sumchecks and 3 opens ride one batched call
+
+def _zerocheck_layer(pk, net, cur_v1x, cur_vx0, cur_vx1, cur_eq, ch, c):
+    """One layer of the layered zerocheck (dhyperplonk.rs:415-478):
+    3 batched sumchecks + 3 batched opens on the current halving slice."""
+    F = pk.pp.field
+    zl = d_sumcheck_product(
+        F,
+        net,
+        _stackp([cur_eq, cur_eq, cur_vx0]),
+        _stackp([cur_v1x, cur_vx0, cur_vx1]),
+        ch,
+    )
+    val3, pis3 = pk.d_commitment.d_open(
+        net, _stackp([cur_v1x, cur_vx0, cur_vx1]), ch, c=c
+    )
+    return zl, val3, pis3
+
+
+def _wire_part_b(
+    n: int,
+    pk: PackedProvingParameters,
+    net: PartyNet,
+    v1x: jnp.ndarray,
+    vx0: jnp.ndarray,
+    vx1: jnp.ndarray,
+    c: int,
+    layer_fn=None,
+):
+    """2.e.2 layered zerocheck loop; ``layer_fn`` lets phased execution
+    substitute a jitted per-layer function (shapes halve per layer, so
+    one jit wrapper yields one executable per layer size)."""
+    s_bits = net.n.bit_length() - 1
+    proofs: List = []
+    opens: List = []
+    if layer_fn is None:
+        layer_fn = lambda *args: _zerocheck_layer(pk, net, *args, c)
     half = v1x.shape[-2] // 2
     cur_v1x, cur_vx0, cur_vx1 = v1x[..., :half, :], vx0[..., :half, :], vx1[..., :half, :]
     cur_eq = pk.eq_r2_p[..., : pk.eq_r2_p.shape[-2] // 2, :]
     for i in range(1, n - s_bits + 1):
         ch = pk.challenge_r2[i:]
-        zl = d_sumcheck_product(
-            F,
-            net,
-            _stackp([cur_eq, cur_eq, cur_vx0]),
-            _stackp([cur_v1x, cur_vx0, cur_vx1]),
-            ch,
-        )
+        zl, val3, pis3 = layer_fn(cur_v1x, cur_vx0, cur_vx1, cur_eq, ch)
         proofs.extend(_unstack(zl, 3, axis=0))
-        val3, pis3 = pk.d_commitment.d_open(
-            net, _stackp([cur_v1x, cur_vx0, cur_vx1]), ch, c=c
-        )
         for b in range(3):
             opens.append((val3[b], [jax.tree.map(lambda a: a[b], pi) for pi in pis3]))
         cur_v1x = cur_v1x[..., cur_v1x.shape[-2] // 2 :, :]
         cur_vx0 = cur_vx0[..., cur_vx0.shape[-2] // 2 :, :]
         cur_vx1 = cur_vx1[..., cur_vx1.shape[-2] // 2 :, :]
         cur_eq = cur_eq[..., cur_eq.shape[-2] // 2 :, :]
+    return proofs, opens
 
-    # leader finishes the tree top locally (dhyperplonk.rs:480-511)
+
+def _wire_part_c(pk, net, leader_tree, eq_top, c):
+    """Leader finishes the tree top locally (dhyperplonk.rs:480-511)."""
+    F = pk.pp.field
+    s_bits = net.n.bit_length() - 1
+    proofs: List = []
+    commits: List = []
+    opens: List = []
     with timed("Leader: Compute leader tree"):
         N = net.n
         lt_v1x = leader_tree[N:, :]
@@ -198,6 +230,30 @@ def _wire_identity_distributed(
             ch_top,
         )
         proofs.extend(_unstack(top3, 3, axis=0))
+    return proofs, commits, opens
+
+
+def _wire_identity_distributed(
+    n: int,
+    pk: PackedProvingParameters,
+    net: PartyNet,
+    local_s_p: jnp.ndarray,
+    s_shares: jnp.ndarray,
+    eq_top: jnp.ndarray,
+    c: int,
+):
+    """Steps 2.b-2.e shared by dhyperplonk / _data_parallel / dpermcheck
+    (dhyperplonk.rs:296-511)."""
+    proofs, commits, opens, (v1x, vx0, vx1, leader_tree) = _wire_part_a(
+        n, pk, net, local_s_p, s_shares, c
+    )
+    pb, ob = _wire_part_b(n, pk, net, v1x, vx0, vx1, c)
+    proofs.extend(pb)
+    opens.extend(ob)
+    pc, cc, oc = _wire_part_c(pk, net, leader_tree, eq_top, c)
+    proofs.extend(pc)
+    commits.extend(cc)
+    opens.extend(oc)
     return proofs, commits, opens
 
 
@@ -284,6 +340,86 @@ def dhyperplonk(n: int, pk: PackedProvingParameters, net: PartyNet,
                 )
             with timed("Open"):
                 gate_coms = _final_opens(pk, net, coms, c)
+    return (gate_proofs, gate_coms), wire
+
+
+def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
+                       seed: int = 2, c: int = 8):
+    """dhyperplonk with each protocol phase as its OWN jitted executable.
+
+    The single-executable form is preferable on owned hardware, but a
+    whole-prover program embeds every Pallas kernel instance's payload
+    and can exceed PJRT's 2 GiB executable-serialization cap (observed
+    6 GB at n=12) — phase executables stay well under it, and phases
+    re-dispatch back-to-back with no host round-trip in between.
+    Output and comm accounting are identical to ``dhyperplonk``.
+    """
+    from .sharding import pk_arrays, pk_merge
+
+    F = pk.pp.field
+    gc = 1 << n
+    P = net.local_parties
+    local_s_p = F.random((P, gc * 4 // net.n), seed * 31 + 1)
+    local_s = F.random((P, gc * 4 // net.n // pk.pp.l), seed * 31 + 2)
+    eq_top = F.random((net.n,), seed * 31 + 3)
+    arrays = pk_arrays(pk)
+
+    # phase jits are cached on pk so repeated proves reuse executables;
+    # the wire identity is split a / per-layer / c — a single wire
+    # executable exceeded the compile helper's memory at n=12
+    fns = getattr(pk, "_phase_jits", None)
+    if fns is None:
+        fns = {
+            "commit": jax.jit(lambda ar: _commit_step(pk_merge(pk, ar), net, c)),
+            "gate": jax.jit(lambda ar: _gate_identity(pk_merge(pk, ar), net)),
+            "wire_a": jax.jit(
+                lambda ar, ls_p, ss: _wire_part_a(
+                    n, pk_merge(pk, ar), net, ls_p, ss, c
+                )
+            ),
+            # one wrapper; per-layer (halving) shapes get their own
+            # executables from jit's shape-keyed cache
+            "layer": jax.jit(
+                lambda ar, v1, v0, vx, eq, ch: _zerocheck_layer(
+                    pk_merge(pk, ar), net, v1, v0, vx, eq, ch, c
+                )
+            ),
+            "wire_c": jax.jit(
+                lambda ar, lt, et: _wire_part_c(pk_merge(pk, ar), net, lt, et, c)
+            ),
+            "open": jax.jit(
+                lambda ar, coms: _final_opens(pk_merge(pk, ar), net, coms, c)
+            ),
+        }
+        pk._phase_jits = fns
+
+    net.sync()
+    with timed("Distributed HyperPlonk"):
+        with timed("Commit"):
+            coms = fns["commit"](arrays)
+        with timed("Distributed HyperPlonk Prover"):
+            with timed("Gate identity"):
+                gate_proofs = fns["gate"](arrays)
+            with timed("Wire identity"):
+                s_shares = _exchange_s(F, net, local_s)
+                wp, wc, wo, (v1x, vx0, vx1, leader_tree) = fns["wire_a"](
+                    arrays, local_s_p, s_shares
+                )
+                pb, ob = _wire_part_b(
+                    n, pk, net, v1x, vx0, vx1, c,
+                    layer_fn=lambda v1, v0, vx, eq, ch: fns["layer"](
+                        arrays, v1, v0, vx, eq, ch
+                    ),
+                )
+                wp.extend(pb)
+                wo.extend(ob)
+                pc, cc, oc = fns["wire_c"](arrays, leader_tree, eq_top)
+                wp.extend(pc)
+                wc.extend(cc)
+                wo.extend(oc)
+                wire = (wp, wc, wo)
+            with timed("Open"):
+                gate_coms = fns["open"](arrays, coms)
     return (gate_proofs, gate_coms), wire
 
 

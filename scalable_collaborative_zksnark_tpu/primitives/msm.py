@@ -172,7 +172,7 @@ def _msm_1d_buckets(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
         pos = jnp.minimum(starts + t, N - 1)  # [W, K]
         pid = jnp.take_along_axis(sorted_i, pos, axis=1).astype(jnp.int32)
         pt = jax.tree.map(lambda a: jnp.take(a, pid, axis=0), aff)
-        acc = curve.select(t < lens, curve.add_mixed(acc, pt), acc)
+        acc = curve.add_mixed_masked(acc, pt, t < lens)
         return t + 1, acc
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))

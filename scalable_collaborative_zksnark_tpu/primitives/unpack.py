@@ -31,10 +31,21 @@ from ..pss.pss import PackedSharingParams
 
 
 @functools.lru_cache(maxsize=None)
-def _pack_single_u(pp: PackedSharingParams):
-    """Montgomery device vector u [n, L] with shares_j = u_j * secret."""
+def _pack_single_u_np(pp: PackedSharingParams):
+    """Host-side Montgomery limb table u [n, L]: shares_j = u_j * secret.
+
+    Cached as NUMPY so each jit trace gets a fresh constant — caching a
+    device array born inside one trace leaks a tracer into the next
+    (observed with per-phase jits)."""
+    import numpy as np
+
     vec = pp.pack_single_reconstructible_vector()
-    return pp.field.array_from_ints(list(vec))
+    F = pp.field
+    return np.stack([F.to_mont_int(int(v) % F.p) for v in vec])
+
+
+def _pack_single_u(pp: PackedSharingParams):
+    return jnp.asarray(_pack_single_u_np(pp))
 
 
 def d_unpack_0(pp: PackedSharingParams, net: PartyNet, share: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,98 @@
+"""Pallas kernel conformance on CPU via the interpreter.
+
+The fused G1 point kernels and tiled field kernels are TPU Mosaic
+kernels; ``SCZK_PALLAS_INTERPRET=1`` runs the same kernel bodies under
+the pallas interpreter so CI (CPU-only) covers their math.  Oracle:
+the native C++ host library (same as the curve tests).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scalable_collaborative_zksnark_tpu import native as no
+from scalable_collaborative_zksnark_tpu.curves.g1 import (
+    BLS12_381_G1_GEN,
+    PointJ,
+    bls12_381_g1,
+)
+
+
+@pytest.fixture()
+def interpret_mode():
+    os.environ["SCZK_PALLAS_INTERPRET"] = "1"
+    yield
+    del os.environ["SCZK_PALLAS_INTERPRET"]
+
+
+def _mk_points(cv, n, seed=3):
+    ks = [(seed * i * i + i + 2) for i in range(1, n + 1)]
+    host = [no.g1_mul(BLS12_381_G1_GEN, k) for k in ks]
+    return host, cv.from_affine_ints(host)
+
+
+def test_point_kernels_vs_oracle(interpret_mode):
+    if not no.available():
+        pytest.skip("native oracle unavailable")
+    from scalable_collaborative_zksnark_tpu.curves.pallas_g1 import point_op
+
+    cv = bls12_381_g1()
+    n = 9
+    h1, p1 = _mk_points(cv, n, 3)
+    h2, p2 = _mk_points(cv, n, 7)
+    # make interesting cases: equal pair (double), cancel pair, infinities
+    h2[0] = h1[0]
+    h2[1] = (h1[1][0], (-h1[1][1]) % no.P)
+    h2[2] = None
+    h1[3] = None
+    p1 = cv.from_affine_ints(h1)
+    p2 = cv.from_affine_ints(h2)
+
+    fq = cv.fq.spec.name
+    # general add
+    x, y, z = point_op("add", fq, (*p1, *p2))
+    got = cv.to_affine_ints(PointJ(x, y, z))
+    want = [no.g1_add(a, b) for a, b in zip(h1, h2)]
+    assert got == want
+
+    # double
+    x, y, z = point_op("double", fq, tuple(p1))
+    got = cv.to_affine_ints(PointJ(x, y, z))
+    assert got == [no.g1_add(a, a) for a in h1]
+
+    # mixed add (p2 affine by construction)
+    x, y, z = point_op("add_mixed", fq, (*p1, *p2))
+    got = cv.to_affine_ints(PointJ(x, y, z))
+    assert got == want
+
+    # masked mixed add
+    mask = jnp.asarray([1, 0, 1, 0, 1, 0, 1, 0, 1], jnp.uint32)
+    x, y, z = point_op("add_masked", fq, (*p1, *p2), mask=mask)
+    got = cv.to_affine_ints(PointJ(x, y, z))
+    want_m = [w if m else a for a, w, m in zip(h1, want, mask.tolist())]
+    assert got == want_m
+
+
+def test_field_kernels_vs_ints(interpret_mode):
+    from scalable_collaborative_zksnark_tpu.fields import pallas_fr
+    from scalable_collaborative_zksnark_tpu.fields.fr import get_field
+
+    F = get_field("bls12_381_fr")
+    rng = np.random.RandomState(5)
+    xs = [int.from_bytes(rng.bytes(31), "little") % F.p for _ in range(10)]
+    ys = [int.from_bytes(rng.bytes(31), "little") % F.p for _ in range(10)]
+    xs += [0, 1, F.p - 1]
+    ys += [F.p - 1, 0, F.p - 1]
+    a, b = F.array_from_ints(xs), F.array_from_ints(ys)
+    assert list(F.array_to_ints(pallas_fr.binary("mul", F.spec, a, b))) == [
+        x * y % F.p for x, y in zip(xs, ys)
+    ]
+    assert list(F.array_to_ints(pallas_fr.binary("add", F.spec, a, b))) == [
+        (x + y) % F.p for x, y in zip(xs, ys)
+    ]
+    assert list(F.array_to_ints(pallas_fr.binary("sub", F.spec, a, b))) == [
+        (x - y) % F.p for x, y in zip(xs, ys)
+    ]
