@@ -33,8 +33,8 @@ from ..fields.pallas_fr import (
 # Jacobian point on tiles: dict of coord name -> [L, M] array.
 
 
-def _double_t(X, Y, Z, p_np, n0inv, L):
-    mul = lambda a, b: mul_t(a, b, p_np, n0inv, L)
+def _double_t(X, Y, Z, p_np, n0inv, L, p_col):
+    mul = lambda a, b: mul_t(a, b, p_np, n0inv, L, p_col=p_col)
     add = lambda a, b: add_t(a, b, p_np, L)
     sub = lambda a, b: sub_t(a, b, p_np, L)
     A = mul(X, X)
@@ -64,9 +64,9 @@ def _select_t(cond_m, a, b):
     return tuple(jnp.where(c, u, v) for u, v in zip(a, b))
 
 
-def _add_t(X1, Y1, Z1, X2, Y2, Z2, p_np, n0inv, L, one_rows, mixed: bool):
+def _add_t(X1, Y1, Z1, X2, Y2, Z2, p_np, n0inv, L, one_rows, mixed, p_col):
     """General or mixed (Z2 in {0,1}) complete add on tiles."""
-    mul = lambda a, b: mul_t(a, b, p_np, n0inv, L)
+    mul = lambda a, b: mul_t(a, b, p_np, n0inv, L, p_col=p_col)
     add = lambda a, b: add_t(a, b, p_np, L)
     sub = lambda a, b: sub_t(a, b, p_np, L)
     Z1Z1 = mul(Z1, Z1)
@@ -104,7 +104,7 @@ def _add_t(X1, Y1, Z1, X2, Y2, Z2, p_np, n0inv, L, one_rows, mixed: bool):
     is_dbl = jnp.logical_and(same_x, r_zero)
     is_cancel = jnp.logical_and(same_x, jnp.logical_not(r_zero))
 
-    dX, dY, dZ = _double_t(X1, Y1, Z1, p_np, n0inv, L)
+    dX, dY, dZ = _double_t(X1, Y1, Z1, p_np, n0inv, L, p_col)
     zero = jnp.zeros_like(X3)
     out = _select_t(is_dbl, (dX, dY, dZ), (X3, Y3, Z3))
     out = _select_t(is_cancel, (zero, one_rows, zero), out)
@@ -113,30 +113,30 @@ def _add_t(X1, Y1, Z1, X2, Y2, Z2, p_np, n0inv, L, one_rows, mixed: bool):
     return out
 
 
-def _add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, *, p_np, n0inv, L, r_np,
-                mixed):
+def _add_kernel(x1, y1, z1, x2, y2, z2, p_ref, ox, oy, oz, *, p_np, n0inv,
+                L, r_np, mixed):
     # Montgomery 1 (= R mod p) as literal per-limb rows
     one_rows = jnp.stack(
         [jnp.full_like(x1[0, :], r_np[j]) for j in range(L)], axis=0
     )
     X3, Y3, Z3 = _add_t(
         x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], p_np, n0inv, L, one_rows,
-        mixed,
+        mixed, p_ref[:],
     )
     ox[:] = X3
     oy[:] = Y3
     oz[:] = Z3
 
 
-def _add_masked_kernel(x1, y1, z1, x2, y2, z2, m, ox, oy, oz, *, p_np, n0inv,
-                       L, r_np):
+def _add_masked_kernel(x1, y1, z1, x2, y2, z2, m, p_ref, ox, oy, oz, *,
+                       p_np, n0inv, L, r_np):
     """acc <- valid ? acc + P2(mixed) : acc  (the MSM accumulate step)."""
     one_rows = jnp.stack(
         [jnp.full_like(x1[0, :], r_np[j]) for j in range(L)], axis=0
     )
     X3, Y3, Z3 = _add_t(
         x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], p_np, n0inv, L, one_rows,
-        True,
+        True, p_ref[:],
     )
     valid = m[:][0] > 0  # [M]
     out = _select_t(valid, (X3, Y3, Z3), (x1[:], y1[:], z1[:]))
@@ -145,8 +145,8 @@ def _add_masked_kernel(x1, y1, z1, x2, y2, z2, m, ox, oy, oz, *, p_np, n0inv,
     oz[:] = out[2]
 
 
-def _double_kernel(x1, y1, z1, ox, oy, oz, *, p_np, n0inv, L):
-    X3, Y3, Z3 = _double_t(x1[:], y1[:], z1[:], p_np, n0inv, L)
+def _double_kernel(x1, y1, z1, p_ref, ox, oy, oz, *, p_np, n0inv, L):
+    X3, Y3, Z3 = _double_t(x1[:], y1[:], z1[:], p_np, n0inv, L, p_ref[:])
     ox[:] = X3
     oy[:] = Y3
     oz[:] = Z3
@@ -166,25 +166,24 @@ def _point_call(op: str, fq_name: str, m: int):
     grid = max(m // BLOCK_M, 1)
     bm = min(m, BLOCK_M)
     coord = pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     if op == "double":
         kern = functools.partial(_double_kernel, p_np=p_np, n0inv=n0inv, L=L)
-        n_in = 3
-        specs = [coord] * 3
+        specs = [coord] * 3 + [pspec]
     elif op == "add_masked":
         kern = functools.partial(
             _add_masked_kernel, p_np=p_np, n0inv=n0inv, L=L, r_np=r_np
         )
-        n_in = 7
         specs = [coord] * 6 + [
-            pl.BlockSpec((1, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pspec,
         ]
     else:  # "add" | "add_mixed"
         kern = functools.partial(
             _add_kernel, p_np=p_np, n0inv=n0inv, L=L, r_np=r_np,
             mixed=(op == "add_mixed"),
         )
-        n_in = 6
-        specs = [coord] * 6
+        specs = [coord] * 6 + [pspec]
     from ..fields.pallas_fr import _interpret
 
     return pl.pallas_call(
@@ -221,6 +220,8 @@ def _from_tiles(tiles, m, shape):
 
 def point_op(op: str, fq_name: str, coords, mask=None):
     """Run a fused point kernel.  coords: tuple of [..., L] arrays."""
+    from ..fields.config import FIELDS
+
     L = coords[0].shape[-1]
     tiles, m, shape = _to_tiles(list(coords), L)
     if mask is not None:
@@ -231,5 +232,6 @@ def point_op(op: str, fq_name: str, coords, mask=None):
                 [mk, jnp.zeros((1, mp - mk.shape[1]), jnp.uint32)], axis=1
             )
         tiles = tiles + [mk]
-    out = _point_call(op, fq_name, tiles[0].shape[1])(*tiles)
+    p_col = jnp.asarray(FIELDS[fq_name].p_limbs, dtype=jnp.uint32).reshape(L, 1)
+    out = _point_call(op, fq_name, tiles[0].shape[1])(*tiles, p_col)
     return _from_tiles(out, m, shape)

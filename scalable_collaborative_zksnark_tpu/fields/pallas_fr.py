@@ -38,32 +38,49 @@ MASK = jnp.uint32(LIMB_MASK)
 BLOCK_M = 1024
 
 
-def _mont_mul_tiles(at, bt, p_np, n0inv, L):
-    """CIOS on transposed tiles: at/bt [L, M] -> product [L, M].
+def _mont_mul_tiles(at, bt, p_col, n0inv, L):
+    """CIOS on transposed tiles: at/bt [L, M] -> list of L+1 [M] columns.
 
     Same column-redundant schedule as fr.Field._mul_unrolled (see the
-    overflow analysis there), expressed over [1, M] limb rows.  All
-    field constants are Python ints (pallas kernels may not close over
-    array constants).
+    overflow analysis there), expressed as ONE lax.scan over the limb
+    rows of ``at``: the body is ~12 tile ops, so a fused point kernel
+    holds ~16 small loops instead of ~10k unrolled ops — executable
+    metadata per pallas instance drops ~12x (a single wire-phase
+    executable measured 2.69 GB unrolled, over PJRT's 2 GiB transfer
+    cap).  ``p_col``: modulus limbs as a [L, 1] array operand (pallas
+    kernels may not close over array constants).
     """
     M = at.shape[1]
-    t = [jnp.zeros((M,), jnp.uint32) for _ in range(L + 1)]
-    for i in range(L):
-        ai = at[i]
-        prod = ai[None, :] * bt  # [L, M] exact 32-bit products
-        lo, hi = prod & LIMB_MASK, prod >> LIMB_BITS
-        for j in range(L):
-            t[j] = t[j] + lo[j]
-            t[j + 1] = t[j + 1] + hi[j]
+    t0 = jnp.zeros((L + 1, M), jnp.uint32)
+
+    # Mosaic supports neither scan-with-xs nor dynamic_slice on values
+    # in-kernel, so the i-loop rotates `at` by one row per step (static
+    # slices) instead of indexing row i.
+    zrow = jnp.zeros((1, M), jnp.uint32)
+
+    def addlo(t, v):  # t[:L] += v  (static slices; scatter unsupported)
+        return jnp.concatenate([t[:L] + v, t[L:]], axis=0)
+
+    def addhi(t, v):  # t[1:] += v
+        return jnp.concatenate([t[:1], t[1:] + v], axis=0)
+
+    def body(_, state):
+        atr, t = state
+        ai = atr[0:1, :]  # [1, M]
+        prod = ai * bt  # [L, M] exact 32-bit products
+        t = addlo(t, prod & LIMB_MASK)
+        t = addhi(t, prod >> LIMB_BITS)
         m = ((t[0] & LIMB_MASK) * n0inv) & LIMB_MASK
-        for j in range(L):
-            mp = m * p_np[j]
-            t[j] = t[j] + (mp & LIMB_MASK)
-            t[j + 1] = t[j + 1] + (mp >> LIMB_BITS)
-        carry = t[0] >> LIMB_BITS
-        t = t[1:] + [jnp.zeros((M,), jnp.uint32)]
-        t[0] = t[0] + carry
-    return t  # L+1 columns, values < 2^32; caller normalizes
+        mp = m[None, :] * p_col  # [L, M]
+        t = addlo(t, mp & LIMB_MASK)
+        t = addhi(t, mp >> LIMB_BITS)
+        carry = t[0:1] >> LIMB_BITS
+        t = jnp.concatenate([t[1:2] + carry, t[2:], zrow], axis=0)
+        atr = jnp.concatenate([atr[1:], atr[:1]], axis=0)
+        return atr, t
+
+    _, t = jax.lax.fori_loop(0, L, body, (at, t0))
+    return [t[j] for j in range(L + 1)]
 
 
 def _carry_rows(t_cols, L):
@@ -90,9 +107,14 @@ def _cond_sub_p_rows(limbs, extra, p_np, L):
 
 
 # -- value-level tile helpers (shared with curves/pallas_g1.py) -----------
-def mul_t(at, bt, p_np, n0inv, L):
-    """[L, M] x [L, M] -> [L, M] Montgomery product (kernel-internal)."""
-    t = _mont_mul_tiles(at, bt, p_np, n0inv, L)
+def mul_t(at, bt, p_np, n0inv, L, p_col=None):
+    """[L, M] x [L, M] -> [L, M] Montgomery product (kernel-internal).
+
+    ``p_np``: python-int limbs (for the scalar fixups); ``p_col``: the
+    same limbs as a [L, 1] array operand for the scan body."""
+    if p_col is None:
+        raise ValueError("mul_t needs the p_col operand")
+    t = _mont_mul_tiles(at, bt, p_col, n0inv, L)
     limbs, carry = _carry_rows(t[:L], L)
     carry = carry + t[L]
     return jnp.stack(_cond_sub_p_rows(limbs, carry, p_np, L), axis=0)
@@ -119,17 +141,13 @@ def is_zero_t(at):
     return jnp.all(at == 0, axis=0)
 
 
-def _mul_kernel(a_ref, b_ref, o_ref, *, p_np, n0inv, L):
+def _mul_kernel(a_ref, b_ref, p_ref, o_ref, *, p_np, n0inv, L):
     at = a_ref[:]  # [L, M] (transposed outside the kernel; XLA cancels
     bt = b_ref[:]  # back-to-back transposes between chained kernels)
-    t = _mont_mul_tiles(at, bt, p_np, int(n0inv), L)
-    limbs, carry = _carry_rows(t[:L], L)
-    carry = carry + t[L]
-    out = _cond_sub_p_rows(limbs, carry, p_np, L)
-    o_ref[:] = jnp.stack(out, axis=0)
+    o_ref[:] = mul_t(at, bt, p_np, int(n0inv), L, p_col=p_ref[:])
 
 
-def _add_kernel(a_ref, b_ref, o_ref, *, p_np, L):
+def _add_kernel(a_ref, b_ref, p_ref, o_ref, *, p_np, L):
     at = a_ref[:]
     bt = b_ref[:]
     cols = at + bt  # [L, M], each < 2^17
@@ -139,7 +157,7 @@ def _add_kernel(a_ref, b_ref, o_ref, *, p_np, L):
     o_ref[:] = jnp.stack(out, axis=0)
 
 
-def _sub_kernel(a_ref, b_ref, o_ref, *, p_np, L):
+def _sub_kernel(a_ref, b_ref, p_ref, o_ref, *, p_np, L):
     at = a_ref[:]
     bt = b_ref[:]
     # (a + p) - b with +2^16 column bias, bias-corrected carries
@@ -170,15 +188,14 @@ def _bin_call(op: str, spec_name: str, m: int):
         kern = functools.partial(_sub_kernel, p_np=p_np, L=L)
     grid = max(m // BLOCK_M, 1)
     bm = min(m, BLOCK_M)
+    coord = pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((L, m), jnp.uint32),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+        in_specs=[coord, coord, pspec],
+        out_specs=coord,
         interpret=_interpret(),
     )
 
@@ -202,7 +219,8 @@ def binary(op: str, spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndar
         z = jnp.zeros((L, mp - m), jnp.uint32)
         flat_a = jnp.concatenate([flat_a, z], axis=1)
         flat_b = jnp.concatenate([flat_b, z], axis=1)
-    out = _bin_call(op, spec.name, mp)(flat_a, flat_b)  # [L, mp]
+    p_col = jnp.asarray(spec.p_limbs, dtype=jnp.uint32).reshape(L, 1)
+    out = _bin_call(op, spec.name, mp)(flat_a, flat_b, p_col)  # [L, mp]
     return jnp.moveaxis(out[:, :m], 0, -1).reshape(shape)
 
 

@@ -35,6 +35,12 @@ def _mk_points(cv, n, seed=3):
 
 
 def test_point_kernels_vs_oracle(interpret_mode):
+    if not os.environ.get("SCZK_SLOW_TESTS"):
+        pytest.skip(
+            "interpreting the fused point kernels takes ~10 min on this "
+            "1-core box; set SCZK_SLOW_TESTS=1 (they are also exercised "
+            "against the host oracle on real TPU runs)"
+        )
     if not no.available():
         pytest.skip("native oracle unavailable")
     from scalable_collaborative_zksnark_tpu.curves.pallas_g1 import point_op
