@@ -32,6 +32,7 @@ cost differs by < N^2/(2lS).
 
 from __future__ import annotations
 
+import functools
 from typing import List
 
 import jax
@@ -393,33 +394,59 @@ def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
         }
         pk._phase_jits = fns
 
+    import os
+
+    if os.environ.get("SCZK_SYNC_PHASES"):
+        # profiling mode: force device completion at phase boundaries so
+        # the timed() spans report real device time (dispatch is async
+        # and block_until_ready is unreliable over the remote tunnel)
+        _sync = jax.jit(
+            lambda o: functools.reduce(
+                lambda a, b: a + b.ravel()[0].astype(jnp.uint32),
+                jax.tree.leaves(o),
+                jnp.uint32(0),
+            )
+        )
+        barrier = lambda o: jax.device_get(_sync(o))
+    else:
+        barrier = lambda o: o
+
     net.sync()
     with timed("Distributed HyperPlonk"):
         with timed("Commit"):
             coms = fns["commit"](arrays)
+            barrier(coms)
         with timed("Distributed HyperPlonk Prover"):
             with timed("Gate identity"):
                 gate_proofs = fns["gate"](arrays)
+                barrier(gate_proofs)
             with timed("Wire identity"):
                 s_shares = _exchange_s(F, net, local_s)
-                wp, wc, wo, (v1x, vx0, vx1, leader_tree) = fns["wire_a"](
-                    arrays, local_s_p, s_shares
-                )
-                pb, ob = _wire_part_b(
-                    n, pk, net, v1x, vx0, vx1, c,
-                    layer_fn=lambda v1, v0, vx, eq, ch: fns["layer"](
-                        arrays, v1, v0, vx, eq, ch
-                    ),
-                )
+                with timed("wire a"):
+                    wp, wc, wo, (v1x, vx0, vx1, leader_tree) = fns["wire_a"](
+                        arrays, local_s_p, s_shares
+                    )
+                    barrier(wo)
+                with timed("wire layers"):
+                    pb, ob = _wire_part_b(
+                        n, pk, net, v1x, vx0, vx1, c,
+                        layer_fn=lambda v1, v0, vx, eq, ch: fns["layer"](
+                            arrays, v1, v0, vx, eq, ch
+                        ),
+                    )
+                    barrier(ob)
                 wp.extend(pb)
                 wo.extend(ob)
-                pc, cc, oc = fns["wire_c"](arrays, leader_tree, eq_top)
+                with timed("wire top"):
+                    pc, cc, oc = fns["wire_c"](arrays, leader_tree, eq_top)
+                    barrier(oc)
                 wp.extend(pc)
                 wc.extend(cc)
                 wo.extend(oc)
                 wire = (wp, wc, wo)
             with timed("Open"):
                 gate_coms = fns["open"](arrays, coms)
+                barrier(gate_coms)
     return (gate_proofs, gate_coms), wire
 
 
