@@ -105,15 +105,18 @@ double-and-add (~2 point-ops per scalar bit on N lanes vs ~24 per window
 element): the small-MSM path is one scalar_mul scan + a tree sum."""
 
 
-def _prefix_scan_axis1(curve: Curve, pts: PointJ) -> PointJ:
-    """Inclusive prefix point-sum along axis 1 (Hillis-Steele)."""
-    n = pts.x.shape[1]
+def _prefix_scan_axis1(curve: Curve, pts: PointJ, axis: int = 1) -> PointJ:
+    """Inclusive prefix point-sum along a batch axis (Hillis-Steele)."""
+    n = pts.x.shape[axis]
     steps = max((n - 1).bit_length(), 1)
-    idx = jnp.arange(n)[None, :]
+    batch_ndim = pts.x.ndim - 1  # limb axis excluded
+    idx = jnp.arange(n).reshape(
+        (1,) * axis + (n,) + (1,) * (batch_ndim - axis - 1)
+    )
 
     def body(k, p):
         sh = jnp.int32(1) << k
-        p_sh = jax.tree.map(lambda a: jnp.roll(a, sh, axis=1), p)
+        p_sh = jax.tree.map(lambda a: jnp.roll(a, sh, axis=axis), p)
         ok = idx >= sh
         return curve.select(ok, curve.add(p, p_sh), p)
 
@@ -121,7 +124,7 @@ def _prefix_scan_axis1(curve: Curve, pts: PointJ) -> PointJ:
 
 
 def _msm_1d_buckets(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
-                    c: int) -> PointJ:
+                    c: int, affine: bool = False) -> PointJ:
     """Bucket-serial windowed Pippenger — the TPU MSM workhorse.
 
     Classic Pippenger does W·(N + 2^c) point-adds but relies on bucket
@@ -144,7 +147,8 @@ def _msm_1d_buckets(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
     nbits = scalars_std.shape[-1] * LIMB_BITS
     W = (nbits + c - 1) // c
     K = 1 << c
-    aff = curve.normalize(points)
+    # pre-normalized bases (z in {0,1}) skip the per-call batch inversion
+    aff = points if affine else curve.normalize(points)
 
     ws = jnp.arange(W, dtype=jnp.uint32)
     digits = jax.vmap(lambda w: _digit(scalars_std, c, w))(ws)  # [W, N]
@@ -197,7 +201,8 @@ def _msm_1d_buckets(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
     return res
 
 
-def _msm_1d(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int) -> PointJ:
+def _msm_1d(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int,
+            affine: bool = False) -> PointJ:
     """MSM for unbatched inputs: points [N], scalars [N, L] standard form.
 
     Algorithm is chosen by static size: tiny tables use double-and-add;
@@ -211,7 +216,7 @@ def _msm_1d(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int) -> P
     executable caches per shape."""
     if scalars_std.shape[0] <= NAIVE_MAX:
         return curve.sum(curve.scalar_mul(points, scalars_std), axis=0)
-    return _msm_1d_buckets(curve, points, scalars_std, c)
+    return _msm_1d_buckets(curve, points, scalars_std, c, affine=affine)
 
 
 def _msm_1d_segscan(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
@@ -276,7 +281,8 @@ protocols call MSM on dozens of distinct small levels (c_open
 q-vectors, layered zerocheck opens)."""
 
 
-def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8) -> PointJ:
+def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8,
+        affine: bool = False) -> PointJ:
     """Batched MSM: points [..., N], scalars [..., N, L] (standard form).
 
     Returns PointJ [...]. Batch dims are vmapped; each instance runs the
@@ -324,17 +330,18 @@ def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8) -> P
         points = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=-2), points, inf
         )
-    return _msm_batched(curve, points, scalars_std, c)
+    return _msm_batched(curve, points, scalars_std, c, affine)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _msm_batched(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int) -> PointJ:
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _msm_batched(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int,
+                 affine: bool = False) -> PointJ:
     """jit boundary ABOVE the vmap stack: `vmap(jit(f))` builds a fresh
     batched executable on every call (observed: hundreds of runtime
     recompiles); `jit(vmap(f))` caches one executable per shape."""
     batch = scalars_std.shape[:-2]
     pts_batch_rank = points.x.ndim - 2  # [batch..., N, L]
-    f = lambda p, s: _msm_1d(curve, p, s, c)
+    f = lambda p, s: _msm_1d(curve, p, s, c, affine)
     # inner vmaps map both; leading extra scalar batch dims broadcast points
     for i in range(len(batch)):
         shared = len(batch) - 1 - i < pts_batch_rank
@@ -346,6 +353,172 @@ def msm_naive(curve: Curve, points: PointJ, scalars_std: jnp.ndarray) -> PointJ:
     """Oracle-grade tiny MSM: per-point scalar_mul then tree sum."""
     prods = curve.scalar_mul(points, scalars_std)
     return curve.sum(prods, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Ragged (segmented) MSM — many MSM instances of DIFFERENT sizes in ONE
+# bucket pass.  The protocols' opening loops commit halving chains of
+# q-vectors (dpoly_comm.rs:299-325, :401-464): per-level msm() calls give
+# one XLA sub-graph per distinct size, which made round-1's wire-phase
+# executable take ~15 min of compile.  Here every (batch-slot, level)
+# pair becomes a *segment* with its own bucket range in a single flat
+# [W, n_chunks * 2^c] accumulator grid, so any ragged chain is one sort +
+# one bucket while-loop + one reduction — one executable for the lot.
+# Big segments are split into fixed-size chunks so the while-loop trip
+# count (the max bucket load) is set by the chunk size, not by the
+# largest segment; chunk partials are summed at the end.
+# ---------------------------------------------------------------------------
+def _pick_c(max_size: int) -> int:
+    """Window size by largest segment: keeps bucket-lane count (W * 2^c
+    per segment) proportionate to the useful work."""
+    if max_size >= 8192:
+        return 8
+    if max_size >= 512:
+        return 6
+    return 4
+
+
+def _chunk_plan(sizes, chunk):
+    """Static chunk decomposition: (chunk_sizes, seg_of_chunk) tuples."""
+    chunk_sizes, seg_of_chunk = [], []
+    for s_idx, n in enumerate(sizes):
+        if chunk is None or n <= chunk:
+            parts = [n]
+        else:
+            parts = [chunk] * (n // chunk)
+            if n % chunk:
+                parts.append(n % chunk)
+        for psz in parts:
+            chunk_sizes.append(psz)
+            seg_of_chunk.append(s_idx)
+    return tuple(chunk_sizes), tuple(seg_of_chunk)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _msm_ragged_core(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
+                     chunk_sizes: tuple, c: int, affine: bool) -> PointJ:
+    """Flat segmented bucket MSM: points/scalars [N_total(, L)] with the
+    static per-chunk sizes; returns per-chunk partial results [C]."""
+    N = scalars_std.shape[0]
+    K = 1 << c
+    C = len(chunk_sizes)
+    nbits = scalars_std.shape[-1] * LIMB_BITS
+    W = (nbits + c - 1) // c
+    aff = points if affine else curve.normalize(points)
+
+    chunk_id = np.repeat(
+        np.arange(C, dtype=np.uint32), np.asarray(chunk_sizes, dtype=np.int64)
+    )
+    ws = jnp.arange(W, dtype=jnp.uint32)
+    digits = jax.vmap(lambda w: _digit(scalars_std, c, w))(ws)  # [W, N]
+    key = jnp.asarray(chunk_id)[None, :] * jnp.uint32(K) + digits
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (W, N))
+    sorted_k, sorted_i = jax.lax.sort_key_val(key, iota, dimension=1)
+    ks = jnp.arange(C * K, dtype=jnp.uint32)
+    starts = jax.vmap(
+        lambda sk: jnp.searchsorted(sk, ks, side="left")
+    )(sorted_k).astype(jnp.int32)  # [W, C*K]
+    ends = jax.vmap(
+        lambda sk: jnp.searchsorted(sk, ks, side="right")
+    )(sorted_k).astype(jnp.int32)
+    lens = ends - starts
+    lens = jnp.where((ks % K == 0)[None, :], 0, lens)  # digit-0 buckets idle
+    maxlen = jnp.max(lens)
+
+    acc0 = curve.infinity((W, C * K))
+
+    def cond(state):
+        t, _ = state
+        return t < maxlen
+
+    def body(state):
+        t, acc = state
+        pos = jnp.minimum(starts + t, N - 1)
+        pid = jnp.take_along_axis(sorted_i, pos, axis=1).astype(jnp.int32)
+        pt = jax.tree.map(lambda a: jnp.take(a, pid, axis=0), aff)
+        return t + 1, curve.add_mixed_masked(acc, pt, t < lens)
+
+    _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
+
+    # per chunk: sum_k k*B_k via reversed prefix scan over the bucket axis
+    accr = jax.tree.map(lambda a: a.reshape(W, C, K, -1)[:, :, ::-1], acc)
+    pref = _prefix_scan_axis1(curve, accr, axis=2)  # pref[..., j] = S_{K-1-j}
+    suff = jax.tree.map(lambda a: a[:, :, : K - 1], pref)  # S_{K-1} .. S_1
+    totals = curve.sum(suff, axis=2)  # [W, C]
+
+    rev_tot = jax.tree.map(lambda a: a[::-1], totals)
+
+    def horner(res, tot):
+        for _ in range(c):
+            res = curve.double(res)
+        return curve.add(res, PointJ(*tot)), None
+
+    res0 = curve.infinity((C,))
+    res, _ = jax.lax.scan(horner, res0, tuple(rev_tot))
+    return res
+
+
+def msm_ragged(curve: Curve, bases_list, scalars_list, c: int | None = None,
+               affine: bool = False, chunk: int | None = 4096):
+    """MSM over a ragged batch in ONE bucket pass.
+
+    ``bases_list[i]``: PointJ broadcastable to [B..., N_i]; also accepts
+    per-entry batch-free bases.  ``scalars_list[i]``: [B..., N_i, L]
+    standard-form scalars, all entries sharing the same leading batch
+    shape.  Returns a list of PointJ [B...] — one result per entry.
+    On CPU the native Pippenger FFI services each entry directly.
+    """
+    ffi = curve._ffi()
+    if ffi is not None:
+        return [
+            msm(curve, b, s, c=8) for b, s in zip(bases_list, scalars_list)
+        ]
+    batch = scalars_list[0].shape[:-2]
+    Bn = int(np.prod(batch, dtype=np.int64)) if batch else 1
+    sizes = []
+    pts_flat, sc_flat = [], []
+    for b, s in zip(bases_list, scalars_list):
+        assert s.shape[:-2] == batch, (s.shape, batch)
+        n_i = s.shape[-2]
+        bb = jax.tree.map(
+            lambda a: jnp.broadcast_to(
+                a.reshape((1,) * (len(batch) + 2 - a.ndim) + a.shape),
+                batch + (n_i, a.shape[-1]),
+            ),
+            b,
+        )
+        pts_flat.append(jax.tree.map(lambda a: a.reshape(Bn * n_i, a.shape[-1]), bb))
+        sc_flat.append(s.reshape(Bn * n_i, s.shape[-1]))
+        sizes += [n_i] * Bn  # batch-major segments per entry
+    points = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *pts_flat)
+    scal = jnp.concatenate(sc_flat, 0)
+    if c is None:
+        c = _pick_c(max(sizes))
+    chunk_sizes, seg_of_chunk = _chunk_plan(tuple(sizes), chunk)
+    res = _msm_ragged_core(curve, points, scal, chunk_sizes, c, affine)
+
+    # chunk -> segment partial sums (host-unrolled; chunk counts are tiny)
+    seg_results = []
+    by_seg: dict = {}
+    for ci, sg in enumerate(seg_of_chunk):
+        by_seg.setdefault(sg, []).append(ci)
+    for s_idx in range(len(sizes)):
+        idxs = by_seg[s_idx]
+        pt = jax.tree.map(lambda a: a[idxs[0]], res)
+        for ci in idxs[1:]:
+            pt = curve.add(pt, jax.tree.map(lambda a, _ci=ci: a[_ci], res))
+        seg_results.append(pt)
+
+    out_list = []
+    k = 0
+    for s in scalars_list:
+        grp = seg_results[k : k + Bn]
+        k += Bn
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *grp)
+        out_list.append(
+            jax.tree.map(lambda a: a.reshape(batch + a.shape[1:]), stacked)
+        )
+    return out_list
 
 
 # ---------------------------------------------------------------------------

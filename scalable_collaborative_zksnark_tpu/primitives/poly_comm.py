@@ -45,7 +45,7 @@ from ..curves.g1 import Curve, PointJ
 from ..fields.fr import Field
 from ..mpc.net import PartyNet
 from ..pss.pss import PackedSharingParams
-from .msm import _dmsm_reduce_vectors, msm
+from .msm import _dmsm_reduce_vectors, msm, msm_ragged
 from .unpack import pss2ss
 
 
@@ -61,31 +61,46 @@ class PolynomialCommitment:
     root_levels: Optional[List[PointJ]] = None  # level j: [2^j], prefix vars
     # collaborative extension: packed SRS share points per level
     packed_powers: Optional[List[PointJ]] = None  # level k: [N, 2^k / l]
+    # True once every stored level is batch-normalized to affine (z in
+    # {0, 1}); lets each MSM skip its per-call batch inversion
+    affine: bool = False
 
     # ------------------------------------------------------------------
     def commit(self, peval: jnp.ndarray, c: int = 8) -> PointJ:
         """evals [..., 2^k, L] (Montgomery) -> commitment point."""
         k = peval.shape[-2].bit_length() - 1
         F = self.curve.fr
-        return msm(self.curve, self.powers_of_g[k], F.decode(peval), c=c)
+        return msm(self.curve, self.powers_of_g[k], F.decode(peval), c=c,
+                   affine=self.affine)
+
+    def _fold_q(self, peval: jnp.ndarray, point: jnp.ndarray, start: int):
+        """Shared opening fold: returns (q list per round, final value)."""
+        F = self.curve.fr
+        n = peval.shape[-2].bit_length() - 1
+        cur = peval
+        qs = []
+        for i in range(n):
+            half = cur.shape[-2] // 2
+            lo, hi = cur[..., :half, :], cur[..., half:, :]
+            q = F.sub(hi, lo)
+            qs.append(q)
+            cur = F.add(lo, F.mul(point[start + i], q))
+        return qs, cur[..., 0, :]
 
     def open(self, peval: jnp.ndarray, point: jnp.ndarray, c: int = 8):
         """-> (value [..., L], proofs: list of n PointJ).
 
         Round i: q_i = hi - lo (committed at level n-1-i), table folds to
-        lo + point_i * (hi - lo).
+        lo + point_i * (hi - lo).  All n ragged per-level commitments run
+        as ONE segmented bucket MSM (msm_ragged).
         """
         F = self.curve.fr
-        n = peval.shape[-2].bit_length() - 1
-        cur = peval
-        proofs = []
-        for i in range(n):
-            half = cur.shape[-2] // 2
-            lo, hi = cur[..., :half, :], cur[..., half:, :]
-            q = F.sub(hi, lo)
-            proofs.append(self.commit(q, c=c))
-            cur = F.add(lo, F.mul(point[i], q))
-        return cur[..., 0, :], proofs
+        qs, value = self._fold_q(peval, point, 0)
+        bases = [self.powers_of_g[q.shape[-2].bit_length() - 1] for q in qs]
+        proofs = msm_ragged(
+            self.curve, bases, [F.decode(q) for q in qs], affine=self.affine
+        )
+        return value, proofs
 
     def verify(self, commitment: PointJ, value, proofs, point_ints,
                g2_offset: int = 0) -> bool:
@@ -142,7 +157,8 @@ class PolynomialCommitment:
         F = self.curve.fr
         k = peval.shape[-2].bit_length() - 1
         B = int(np.prod(peval.shape[1:-2], dtype=np.int64))
-        local = msm(self.curve, self.powers_of_g[k], F.decode(peval), c=c)  # [P, ...]
+        local = msm(self.curve, self.powers_of_g[k], F.decode(peval), c=c,
+                    affine=self.affine)  # [P, ...]
         local = self._scale_by_weights(net, local)
         g = net.gather_to_root(local, "g1", count=B, vec=B > 1)  # [N, ...]
         total = self.curve.sum(g, axis=0)
@@ -165,17 +181,12 @@ class PolynomialCommitment:
         s = net.n.bit_length() - 1
         m = peval.shape[-2].bit_length() - 1
         B = int(np.prod(peval.shape[1:-2], dtype=np.int64))
-        cur = peval
-        local_pis = []
-        for j in range(m):
-            half = cur.shape[-2] // 2
-            lo, hi = cur[..., :half, :], cur[..., half:, :]
-            q = F.sub(hi, lo)
-            k = q.shape[-2].bit_length() - 1
-            pi = msm(self.curve, self.powers_of_g[k], F.decode(q), c=c)  # [P, ...]
-            local_pis.append(self._scale_by_weights(net, pi))
-            cur = F.add(lo, F.mul(point[s + j], q))
-        local_z = cur[..., 0, :]  # [P, ..., L]
+        qs, local_z = self._fold_q(peval, point, s)  # local_z [P, ..., L]
+        bases = [self.powers_of_g[q.shape[-2].bit_length() - 1] for q in qs]
+        pis = msm_ragged(
+            self.curve, bases, [F.decode(q) for q in qs], affine=self.affine
+        )  # list of [P, ...]
+        local_pis = [self._scale_by_weights(net, pi) for pi in pis]
         # one leader round: each worker pushes (z, Vec<pi>) per slot —
         # count the payload once, move the data without re-counting
         from ..mpc.net import VEC_PREFIX
@@ -188,15 +199,24 @@ class PolynomialCommitment:
         summed = [self.curve.sum(p_, axis=0) for p_ in pig]  # local-round proofs
         # leader opens the root polynomial (values z over the party index)
         cur = jnp.moveaxis(zg, 0, -2)  # [..., N, L]
-        root_pis = []
+        root_qs = []
         for j in range(s):
             half = cur.shape[-2] // 2
             lo, hi = cur[..., :half, :], cur[..., half:, :]
             q = F.sub(hi, lo)
-            k = q.shape[-2].bit_length() - 1
-            pi = msm(self.curve, self.root_levels[k], F.decode(q), c=c)
-            root_pis.append(pi)
+            root_qs.append(q)
             cur = F.add(lo, F.mul(point[j], q))
+        root_bases = [
+            self.root_levels[q.shape[-2].bit_length() - 1] for q in root_qs
+        ]
+        root_pis = (
+            msm_ragged(
+                self.curve, root_bases, [F.decode(q) for q in root_qs],
+                affine=self.affine,
+            )
+            if root_qs
+            else []
+        )
         value = cur[..., 0, :]
         # leader scatters the (real-to-leader, zero-to-worker) answer
         # (dpoly_comm.rs:386-391): count the scatter, return the real one
@@ -344,14 +364,13 @@ def srs_random(curve: Curve, n: int, seed: int, n_parties: int = 1,
 # ---------------------------------------------------------------------------
 # Collaborative (c_) ops on PSS shares
 # ---------------------------------------------------------------------------
-def _d_msm_ragged(curve, pp, net, bases_list, scalars_list, c=8):
-    """d_msm for a ragged batch (one leader round): local MSM per entry,
-    stacked to [P, B], then the fused rank-1 leader reduce (dmsm.rs:29-40).
+def _d_msm_ragged(curve, pp, net, bases_list, scalars_list, c=8, affine=False):
+    """d_msm for a ragged batch (one leader round): ONE segmented bucket
+    MSM for every entry, stacked to [P, B], then the fused rank-1 leader
+    reduce (dmsm.rs:29-40).
     """
     F = curve.fr
-    locs = []
-    for bases, scal in zip(bases_list, scalars_list):
-        locs.append(msm(curve, bases, scal, c=c))  # [P, ...]
+    locs = msm_ragged(curve, bases_list, scalars_list, affine=affine)  # [P, ...] each
     local = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *locs)  # [P, ..., B]
     B = len(locs) * int(np.prod(locs[0].x.shape[1:-1], dtype=np.int64))
     gathered = net.gather_to_root(local, "g1", count=B, vec=True)
@@ -380,7 +399,7 @@ def c_commit(srs: PolynomialCommitment, pp: PackedSharingParams, net: PartyNet,
             b = jax.tree.map(lambda a: a[:1], b)
         bases.append(b)
         scals.append(F.decode(pe))
-    return _d_msm_ragged(curve, pp, net, bases, scals, c=c)
+    return _d_msm_ragged(curve, pp, net, bases, scals, c=c, affine=srs.affine)
 
 
 def c_open(srs: PolynomialCommitment, pp: PackedSharingParams, net: PartyNet,

@@ -104,3 +104,56 @@ def test_bucket_serial_msm_vs_oracle():
         r = _msm_1d_buckets(cv, pts, scal, c)
         got = cv.to_affine_ints(jax.tree.map(lambda a: a[None], r))[0]
         assert got == want, c
+
+
+def test_msm_ragged_vs_oracle():
+    """msm_ragged's segmented bucket core (the TPU path — CPU normally
+    short-circuits to the FFI) must match the host oracle across ragged
+    sizes, batch dims, broadcast bases, and chunk splitting."""
+    from unittest import mock
+
+    from scalable_collaborative_zksnark_tpu.primitives.msm import msm_ragged
+
+    cv = bls12_381_g1()
+    F = cv.fr
+    rng = np.random.RandomState(7)
+    sizes = [5, 17, 3]
+    B = 2
+
+    def rand_pts(n):
+        ks = [int.from_bytes(rng.bytes(31), "little") % hc.R for _ in range(n)]
+        return [hc.g1_mul(hc.G1_GEN, k) for k in ks]
+
+    def rand_scal(n):
+        return [int.from_bytes(rng.bytes(31), "little") % hc.R for _ in range(n)]
+
+    host_bases = [rand_pts(n) for n in sizes]
+    host_scals = [[rand_scal(n) for _ in range(B)] for n in sizes]
+    host_scals[0][0][2] = 0  # edge scalar
+
+    bases = []
+    for ent, (n, hb) in enumerate(zip(sizes, host_bases)):
+        P = cv.from_affine_ints(hb)
+        if ent == 1:  # exercise the batch-free broadcast path
+            bases.append(P)
+        else:
+            bases.append(jax.tree.map(lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), P))
+    scal = [
+        jnp.asarray(
+            np.stack(
+                [
+                    np.stack([np.array(int_to_limbs(s, F.L), np.uint32) for s in row])
+                    for row in hs
+                ]
+            )
+        )
+        for hs in host_scals
+    ]
+
+    with mock.patch.object(type(cv), "_ffi", lambda self: None):
+        outs = msm_ragged(cv, bases, scal, chunk=8)  # chunk < 17 forces split
+    for ent in range(len(sizes)):
+        got = cv.to_affine_ints(outs[ent])
+        for b in range(B):
+            want = host_msm(host_bases[ent], host_scals[ent][b])
+            assert got[b] == want, (ent, b)
