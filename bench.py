@@ -44,6 +44,8 @@ def main() -> None:
                          "full: single end-to-end jit; eager: per-primitive "
                          "dispatch")
     ap.add_argument("--eager", action="store_true", help="alias for --mode eager")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the warm runs into DIR")
     args = ap.parse_args()
 
     if args.smoke:
@@ -54,7 +56,21 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
         args.n, args.l = 4, 1
+    import os
+
     import jax
+
+    # Persistent executable cache: a fresh process re-proving the same
+    # config deserializes round-1's executables instead of re-compiling
+    # (the dominant cost of a cold benchmark run).  Disabled on CPU —
+    # XLA:CPU cache entries are CPU-feature-specific and segfault when
+    # loaded on a different machine (tests/conftest.py keys them instead).
+    cache_dir = os.environ.get("SCZK_COMPILE_CACHE",
+                               str(Path(__file__).resolve().parent / ".jax_cache"))
+    if cache_dir and cache_dir != "0" and jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
     from scalable_collaborative_zksnark_tpu.hyperplonk import (
         dhyperplonk,
@@ -127,14 +143,20 @@ def main() -> None:
     comm = net.comm(0)
     print(f"# comm per prove: {comm}", file=sys.stderr)
 
+    import contextlib
+
+    prof = (
+        jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
+    )
     best = float("inf")
-    for i in range(max(args.repeat, 1)):
-        t0 = time.time()
-        out = step_jit(arrays)
-        barrier(out)
-        dt = time.time() - t0
-        print(f"# run {i}: {dt:.2f}s", file=sys.stderr)
-        best = min(best, dt)
+    with prof:
+        for i in range(max(args.repeat, 1)):
+            t0 = time.time()
+            out = step_jit(arrays)
+            barrier(out)
+            dt = time.time() - t0
+            print(f"# run {i}: {dt:.2f}s", file=sys.stderr)
+            best = min(best, dt)
 
     # Reference per-party estimate: 93.218 s / N at its (unrecorded) trace
     # size; the BASELINE.json flagship config is l=8, N=64 (BASELINE.md).

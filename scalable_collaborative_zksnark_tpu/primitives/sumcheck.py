@@ -65,7 +65,16 @@ def _rounds_single(F: Field, cur, challenges, start, count):
 
 
 def _rounds_product(F: Field, cur_f, cur_g, challenges, start, count):
-    """Product rounds; messages are (t0, t1, t2) triples [..., 3, L]."""
+    """Product rounds; messages are (t0, t1, t2) triples [..., 3, L].
+
+    On TPU a full fold (count == log2(M)) runs as ONE fused Pallas
+    kernel — both tables VMEM-resident for all rounds, ~6 launches +
+    HBM round-trips per round collapsed into one (VERDICT item 2)."""
+    from . import pallas_sumcheck as psc
+
+    M = cur_f.shape[-2]
+    if count == M.bit_length() - 1 and count > 0 and psc.supported(M):
+        return psc.product_phase(F, cur_f, cur_g, challenges, start)
     msgs = []
     two = F.const(2)
     for i in range(count):

@@ -102,3 +102,27 @@ def test_field_kernels_vs_ints(interpret_mode):
     assert list(F.array_to_ints(pallas_fr.binary("sub", F.spec, a, b))) == [
         (x - y) % F.p for x, y in zip(xs, ys)
     ]
+
+
+def test_fused_sumcheck_phase_vs_jnp(interpret_mode):
+    """The fused full-phase sumcheck-product kernel must emit the exact
+    canonical messages and folded values of the unfused jnp round loop."""
+    from scalable_collaborative_zksnark_tpu.fields.fr import get_field
+    from scalable_collaborative_zksnark_tpu.primitives import pallas_sumcheck as psc
+    from scalable_collaborative_zksnark_tpu.primitives.sumcheck import (
+        _rounds_product,
+    )
+
+    F = get_field("bls12_381_fr")
+    B, M = 2, 256
+    f = F.random((B, M), 11)
+    g = F.random((B, M), 12)
+    ch = F.random((M.bit_length() - 1 + 3,), 13)
+
+    k_msgs, k_f, k_g = psc.product_phase(F, f, g, ch, 1)
+    j_msgs, j_f, j_g = _rounds_product(F, f, g, ch, 1, M.bit_length() - 1)
+    assert len(k_msgs) == len(j_msgs)
+    for a, b in zip(k_msgs, j_msgs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(k_f), np.asarray(j_f))
+    np.testing.assert_array_equal(np.asarray(k_g), np.asarray(j_g))
