@@ -202,7 +202,17 @@ def _to_tiles(arrs, L):
     m = 1
     for d in shape[:-1]:
         m *= d
-    mp = max(((m + 127) // 128) * 128, 128) if m < BLOCK_M else m + ((-m) % BLOCK_M)
+    from ..fields.pallas_fr import _interpret
+
+    # Mosaic needs full 128-lane tiles; the interpreter (CPU conformance
+    # tests) has no lane constraint, so pad only to 8 there — 16x less
+    # simulated work for tiny test batches.
+    lanes = 8 if _interpret() else 128
+    mp = (
+        max(((m + lanes - 1) // lanes) * lanes, lanes)
+        if m < BLOCK_M
+        else m + ((-m) % BLOCK_M)
+    )
     out = []
     for a in arrs:
         t = jnp.moveaxis(a.reshape(m, L), -1, 0)

@@ -81,6 +81,88 @@ class PackedProvingParameters:
     reduce_target: jnp.ndarray
 
 
+def consistent_proving_parameters(
+    n: int,
+    l: int,
+    net: PartyNet,
+    srs: dict,
+    curve: Optional[Curve] = None,
+    seed: int = 1,
+):
+    """Prover inputs that are CONSISTENT shares/slices of one global
+    witness (unlike the reference's independent random placeholders,
+    dhyperplonk.rs:64-157) — so distributed transcripts can be unpacked
+    across parties and verified against the monolithic oracle.
+
+    Requires ``sim`` mode (all N parties materialized) and an honest
+    ``srs`` = {"c": packed secret-derived SRS, "d": secret-derived SRS
+    with the distributed extension}.  Returns (pk, globals_dict) where
+    globals_dict holds the underlying global polynomials.
+    """
+    from ..primitives.mle import pack_vec
+
+    assert net.mode == "sim"
+    if curve is None:
+        curve = bls12_381_g1()
+    F = curve.fr
+    pp = PackedSharingParams(F, l)
+    N = pp.n
+    gc = 1 << n
+
+    def rg(sz, k):
+        return F.random((sz,), seed * 7013 + k)
+
+    g = {
+        "V": rg(gc * 4, 1),
+        "I": rg(gc, 3),
+        "S1": rg(gc, 4),
+        "S2": rg(gc, 5),
+        "ssigma": rg(gc * 4, 9),
+        "sid": rg(gc * 4, 10),
+        "eq": rg(gc, 12),
+        "eq_r1": rg(gc * 4, 14),
+        "eq_r2": rg(gc * 4, 16),
+    }
+    zero, one = F.const(0), F.const(1)
+    pts00 = jnp.stack([zero, zero])
+    pts01 = jnp.stack([zero, one])
+    pts10 = jnp.stack([one, zero])
+    g["a"] = fix_variable(F, g["V"], pts00)
+    g["b"] = fix_variable(F, g["V"], pts01)
+    g["c"] = fix_variable(F, g["V"], pts10)
+
+    sh = lambda x: pack_vec(pp, x)
+    sl = lambda x: x.reshape(N, x.shape[-2] // N, F.L)
+    P = net.local_parties
+    rnd = lambda shape, k: F.random(shape, seed * 1009 + k)
+    pk = PackedProvingParameters(
+        n=n, pp=pp, curve=curve,
+        V=sh(g["V"]),
+        a_evals=sh(g["a"]), b_evals=sh(g["b"]), c_evals=sh(g["c"]),
+        I=sh(g["I"]), S1=sh(g["S1"]), S2=sh(g["S2"]),
+        I_p=sl(g["I"]), S1_p=sl(g["S1"]), S2_p=sl(g["S2"]),
+        ssigma=sh(g["ssigma"]), ssigma_p=sl(g["ssigma"]),
+        ssigma_a=sh(fix_variable(F, g["ssigma"], pts00)),
+        ssigma_b=sh(fix_variable(F, g["ssigma"], pts01)),
+        ssigma_c=sh(fix_variable(F, g["ssigma"], pts10)),
+        sid=sh(g["sid"]), sid_p=sl(g["sid"]),
+        eq=sh(g["eq"]), eq_top_p=rnd((P, N * 2), 13),
+        eq_r1=sh(g["eq_r1"]), eq_r1_p=sl(g["eq_r1"]),
+        eq_r2=sh(g["eq_r2"]), eq_r2_p=sl(g["eq_r2"]),
+        challenge=rnd((n,), 18),
+        challenge_r1=rnd((n + 2,), 19),
+        challenge_r2=rnd((n + 2,), 20),
+        alpha=rnd((), 21), beta=rnd((), 22), gamma=rnd((), 23),
+        d_commitment=srs["d"], c_commitment=srs["c"],
+        mask=rnd((P, gc * 4 // l), 24),
+        unmask0=rnd((P, gc * 4 // l), 25),
+        unmask1=rnd((P, gc * 4 // l), 26),
+        unmask2=rnd((P, gc * 4 // l), 27),
+        reduce_target=rnd((P, max(gc // l // l, 1)), 28),
+    )
+    return pk, g
+
+
 def packed_proving_parameters(
     n: int,
     l: int,

@@ -56,9 +56,12 @@ class PolynomialCommitment:
     curve: Curve
     powers_of_g: List[PointJ]  # level k: PointJ batch [2^k]
     powers_of_g2: List[tuple]  # host G2 affine points (len n+1)
-    # distributed extension (None for purely local use):
-    party_weights: Optional[np.ndarray] = None  # [N] object ints (w_p mod r)
-    root_levels: Optional[List[PointJ]] = None  # level j: [2^j], prefix vars
+    # distributed extension (None for purely local use).  Honest SRS
+    # (srs_from_secret) keys weights/root-levels by the opened poly's
+    # total variable count; the random benchmark SRS keeps flat forms
+    # (weights all 1, one root-level list — values unverifiable anyway).
+    party_weights: Optional[object] = None  # [N] object ints, or {m_total: [N]}
+    root_levels: Optional[object] = None  # [PointJ...] or {m_total: [PointJ...]}
     # collaborative extension: packed SRS share points per level
     packed_powers: Optional[List[PointJ]] = None  # level k: [N, 2^k / l]
     # True once every stored level is batch-normalized to affine (z in
@@ -72,7 +75,14 @@ class PolynomialCommitment:
         build removes the per-commit/open batch inversion that round 1
         re-ran on every call (VERDICT item 1a)."""
         cv = self.curve
-        norm_lv = lambda lvs: None if lvs is None else [cv.normalize(p) for p in lvs]
+
+        def norm_lv(lvs):
+            if lvs is None:
+                return None
+            if isinstance(lvs, dict):
+                return {k: [cv.normalize(p) for p in v] for k, v in lvs.items()}
+            return [cv.normalize(p) for p in lvs]
+
         return dataclasses.replace(
             self,
             powers_of_g=norm_lv(self.powers_of_g),
@@ -150,12 +160,21 @@ class PolynomialCommitment:
     # ------------------------------------------------------------------
     # Distributed (d_) ops — evals sliced 1/N per party, party axis first
     # ------------------------------------------------------------------
-    def _scale_by_weights(self, net: PartyNet, pts: PointJ) -> PointJ:
-        """Multiply party p's point by w_p (the prefix-tensor factor).
+    def _weights_for(self, m_total: int):
+        w = self.party_weights
+        return w[m_total] if isinstance(w, dict) else w
+
+    def _root_levels_for(self, m_total: int):
+        rl = self.root_levels
+        return rl[m_total] if isinstance(rl, dict) else rl
+
+    def _scale_by_weights(self, net: PartyNet, pts: PointJ, m_total: int) -> PointJ:
+        """Multiply party p's point by w_p (the prefix-tensor factor of
+        an m_total-variable polynomial).
 
         ``pts``: PointJ [P, ...] — weights broadcast over batch dims.
         """
-        w = self.party_weights
+        w = self._weights_for(m_total)
         P = net.local_parties
         if all(int(w[p]) == 1 for p in range(P)):
             return pts  # random benchmark SRS: weights are trivially 1
@@ -175,7 +194,7 @@ class PolynomialCommitment:
         B = int(np.prod(peval.shape[1:-2], dtype=np.int64))
         local = msm(self.curve, self.powers_of_g[k], F.decode(peval), c=c,
                     affine=self.affine)  # [P, ...]
-        local = self._scale_by_weights(net, local)
+        local = self._scale_by_weights(net, local, k + net.n.bit_length() - 1)
         g = net.gather_to_root(local, "g1", count=B, vec=B > 1)  # [N, ...]
         total = self.curve.sum(g, axis=0)
         out = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (net.n,) + a.shape), total)
@@ -202,7 +221,7 @@ class PolynomialCommitment:
         pis = msm_ragged(
             self.curve, bases, [F.decode(q) for q in qs], affine=self.affine
         )  # list of [P, ...]
-        local_pis = [self._scale_by_weights(net, pi) for pi in pis]
+        local_pis = [self._scale_by_weights(net, pi, m + s) for pi in pis]
         # one leader round: each worker pushes (z, Vec<pi>) per slot —
         # count the payload once, move the data without re-counting
         from ..mpc.net import VEC_PREFIX
@@ -222,9 +241,8 @@ class PolynomialCommitment:
             q = F.sub(hi, lo)
             root_qs.append(q)
             cur = F.add(lo, F.mul(point[j], q))
-        root_bases = [
-            self.root_levels[q.shape[-2].bit_length() - 1] for q in root_qs
-        ]
+        rl = self._root_levels_for(m + s)
+        root_bases = [rl[q.shape[-2].bit_length() - 1] for q in root_qs]
         root_pis = (
             msm_ragged(
                 self.curve, root_bases, [F.decode(q) for q in root_qs],
@@ -270,25 +288,37 @@ def srs_from_secret(curve: Curve, g1_aff, g2_aff, s_ints, n_parties: int = 1):
     root_levels = None
     if n_parties > 1:
         sbits = n_parties.bit_length() - 1
-        # w_p = prod_{i < sbits} factor_i(p_i) over the prefix variables
-        party_weights = np.empty((n_parties,), dtype=object)
-        for p in range(n_parties):
-            w = 1
+        # A d-committed poly with m_total <= n variables uses the SRS's
+        # TRAILING m_total secrets (level construction prepends factors),
+        # so its party-prefix variables are s_ints[base .. base+sbits]
+        # with base = n - m_total.  Weights and root levels are therefore
+        # keyed by m_total — round 1 built them for m_total = n only,
+        # which made d_commit/d_open of smaller polys unverifiable.
+        party_weights = {}
+        root_levels = {}
+        for m_total in range(sbits, n + 1):
+            base = n - m_total
+            w_arr = np.empty((n_parties,), dtype=object)
+            for p in range(n_parties):
+                w = 1
+                for i in range(sbits):
+                    bit = (p >> (sbits - 1 - i)) & 1
+                    f = s_ints[base + i] % r
+                    w = w * (f if bit else (1 - f) % r) % r
+                w_arr[p] = w
+            party_weights[m_total] = w_arr
+            # root level j: tensor over s_ints[base+sbits-j .. base+sbits]
+            rl_host = [[g1_aff]]
             for i in range(sbits):
-                bit = (p >> (sbits - 1 - i)) & 1
-                f = s_ints[i] % r
-                w = w * (f if bit else (1 - f) % r) % r
-            party_weights[p] = w
-        # root level j: tensor over prefix variables s_{s-j..s-1}
-        rl_host = [[g1_aff]]
-        for i in range(sbits):
-            f = s_ints[sbits - i - 1] % r
-            prev = rl_host[i]
-            rl_host.append(
-                [hc.g1_mul(pt, (1 - f) % r) for pt in prev]
-                + [hc.g1_mul(pt, f) for pt in prev]
-            )
-        root_levels = [curve.from_affine_ints(lv) for lv in rl_host[:sbits]]
+                f = s_ints[base + sbits - i - 1] % r
+                prev = rl_host[i]
+                rl_host.append(
+                    [hc.g1_mul(pt, (1 - f) % r) for pt in prev]
+                    + [hc.g1_mul(pt, f) for pt in prev]
+                )
+            root_levels[m_total] = [
+                curve.from_affine_ints(lv) for lv in rl_host[:sbits]
+            ]
     # host-built levels arrive as affine ints (z in {0, 1}) already
     return PolynomialCommitment(
         curve, powers_of_g, powers_of_g2, party_weights, root_levels,

@@ -158,3 +158,101 @@ def test_cpermcheck_counts():
     # streams were padded to S: every c_open value share is [P, L]
     value, proofs = wo[3]
     assert value.shape == (1, F.L)
+
+
+def test_dhyperplonk_transcripts_and_openings_verify():
+    """Protocol-level verification (VERDICT item 7): with CONSISTENT
+    shares of one global witness and honest SRSs, the distributed
+    prover's gate-identity transcript unpacks to the monolithic
+    transcript and passes the sumcheck oracle, and both a c_open and a
+    d_open from inside dhyperplonk pairing-verify."""
+    from scalable_collaborative_zksnark_tpu.hyperplonk.params import (
+        consistent_proving_parameters,
+    )
+    from scalable_collaborative_zksnark_tpu.primitives.poly_comm import srs_packed
+    from scalable_collaborative_zksnark_tpu.primitives.sumcheck import (
+        sumcheck_product,
+    )
+    from scalable_collaborative_zksnark_tpu.pss.pss import PackedSharingParams
+
+    n, l = 4, 1
+    N = 8 * l
+    net = PartyNet(N, mode="sim")
+    pp = PackedSharingParams(F, l)
+    d_srs = honest_srs(n + 2, n_parties=N, seed=31)
+    c_plain = honest_srs(n + 2, seed=37)
+    c_srs = srs_packed(c_plain, pp)
+    pk, g = consistent_proving_parameters(
+        n, l, net, srs={"c": c_srs, "d": d_srs}, curve=CURVE
+    )
+    (gate_proofs, gate_coms), _wire = dhyperplonk(n, pk, net, c=C)
+
+    # 1. gate sumcheck #3 = c_sumcheck_product(a, b): unpack across
+    # parties == monolithic transcript, and it verifies
+    msgs = gate_proofs[3]  # [N, n+1, 3, L]
+    secrets = pp.unpack2(jnp.moveaxis(msgs, 0, -2))  # [n+1, 3, l, L]
+    proof_arr = F.sum(secrets, axis=-2)
+    mono = sumcheck_product(F, g["a"], g["b"], pk.challenge)
+    np.testing.assert_array_equal(np.asarray(proof_arr), np.asarray(mono))
+    a_ints = [int(v) for v in F.array_to_ints(g["a"])]
+    b_ints = [int(v) for v in F.array_to_ints(g["b"])]
+    h = sum(x * y % F.p for x, y in zip(a_ints, b_ints)) % F.p
+    proof = [[int(v) for v in row] for row in F.array_to_ints(proof_arr)]
+    ch_ints = [int(v) for v in F.array_to_ints(pk.challenge)]
+    assert check_sumcheck_product(F, h, proof, ch_ints)
+
+    def pt0(pt_shares):
+        """Unpack a [N]-shaped share point -> the secret point."""
+        sec = pp.unpack_group(
+            CURVE, jax.tree.map(lambda a: jnp.moveaxis(a, 0, -2), pt_shares)
+        )
+        return jax.tree.map(lambda a: a[0], sec)
+
+    # 2. c_open of a at pk.challenge (gate_coms[0]) pairing-verifies
+    com_sh, (val_sh, pis_sh) = gate_coms[0]
+    com = pt0(com_sh)
+    vi = int(F.array_to_ints(pp.unpack(val_sh))[0])
+    R = pis_sh.x.shape[1]
+    proofs = [
+        pt0(jax.tree.map(lambda a, _i=i: a[:, _i], pis_sh)) for i in range(R)
+    ]
+    # a is an n-var poly under the (n+2)-var SRS -> g2 offset 2
+    assert c_plain.verify(com, vi, proofs, ch_ints, g2_offset=2)
+    assert not c_plain.verify(com, (vi + 1) % F.p, proofs, ch_ints, g2_offset=2)
+
+    # 3. d_commit/d_open of I at pk.challenge (gate_coms[3]):
+    # equals the monolithic commitment and pairing-verifies
+    dcom_sh, (dval, dpis) = gate_coms[3]
+    dcom = jax.tree.map(lambda a: a[0], dcom_sh)
+    mono_com = d_srs.commit(g["I"], c=C)
+    assert CURVE.to_affine_ints(jax.tree.map(lambda a: a[None], dcom)) == \
+        CURVE.to_affine_ints(jax.tree.map(lambda a: a[None], mono_com))
+    dvi = int(F.array_to_ints(dval[None])[0])
+    assert d_srs.verify(dcom, dvi, dpis, ch_ints, g2_offset=2)
+
+
+def test_dhyperplonk_comm_totals_pinned():
+    """Exact per-party byte totals (VERDICT item 8): the analytic
+    counters (arkworks compressed sizes, mpc/net.py SIZEOF) are pinned
+    at two configs so any drift in a collective's payload accounting
+    breaks this test.  Round count pins the protocol's round structure.
+
+    Magnitude anchor: the reference's only recorded run prints
+    `Comm: (14411071, 2425319)` per party (hack/run-hyperplonk/
+    output.txt:1304) at its (unrecorded) trace size; our n=16, l=8
+    flagship totals (measured 2026-08-17, same counters as below) are
+    leader (3303721, 3930193) / worker (1078689, 1068745) over 131
+    rounds — the same order of magnitude, smaller uploads because every
+    leader_compute whose map is linear is fused into one round here.
+    """
+    expect = {
+        (4, 1): ((44465, 46593), (8241, 7937), 48),
+        (5, 2): ((111121, 97921), (8433, 9313), 56),
+    }
+    for (n, l), (lead, work, rounds) in expect.items():
+        net = PartyNet(8 * l, mode="leader")
+        pk = packed_proving_parameters(n, l, net, curve=CURVE)
+        dhyperplonk(n, pk, net, c=C)
+        assert net.comm(0) == lead, (n, l, net.comm(0))
+        assert net.comm(3) == work, (n, l, net.comm(3))
+        assert net.rounds == rounds, (n, l, net.rounds)
