@@ -34,34 +34,63 @@ def _mk_points(cv, n, seed=3):
     return host, cv.from_affine_ints(host)
 
 
+def _case_points(cv, n=9):
+    h1, _ = _mk_points(cv, n, 3)
+    h2, _ = _mk_points(cv, n, 7)
+    # make interesting cases: equal pair (double), cancel pair, infinities
+    h2[0] = h1[0]
+    h2[1] = (h1[1][0], (-h1[1][1]) % no.P)
+    h2[2] = None
+    h1[3] = None
+    return h1, cv.from_affine_ints(h1), h2, cv.from_affine_ints(h2)
+
+
+def test_msm_accumulate_kernel_vs_oracle(interpret_mode):
+    """Default-suite coverage of the MSM hot kernel (VERDICT weak #4).
+
+    ``add_masked`` is THE bucket-serial MSM accumulate step
+    (msm.py -> Curve.add_mixed_masked), and its `_add_t` body embeds
+    the double formula and every complete-case select — so this one
+    kernel covers the whole fused point-op surface the TPU hot path
+    runs.  One op only: interpret-mode cost is XLA:CPU *compile* of
+    the ~16-mul CIOS graph (~2 min on this 1-core box), not
+    simulation, so each extra op costs the same again; the remaining
+    three ops run under SCZK_SLOW_TESTS below.
+    """
+    if not no.available():
+        pytest.skip("native oracle unavailable")
+    from scalable_collaborative_zksnark_tpu.curves.pallas_g1 import point_op
+
+    cv = bls12_381_g1()
+    h1, p1, h2, p2 = _case_points(cv)
+    want = [no.g1_add(a, b) for a, b in zip(h1, h2)]
+    mask = jnp.asarray([1, 0, 1, 0, 1, 0, 1, 0, 1], jnp.uint32)
+    x, y, z = point_op("add_masked", cv.fq.spec.name, (*p1, *p2), mask=mask)
+    got = cv.to_affine_ints(PointJ(x, y, z))
+    want_m = [w if m else a for a, w, m in zip(h1, want, mask.tolist())]
+    assert got == want_m
+
+
 def test_point_kernels_vs_oracle(interpret_mode):
     if not os.environ.get("SCZK_SLOW_TESTS"):
         pytest.skip(
-            "interpreting the fused point kernels takes ~10 min on this "
-            "1-core box; set SCZK_SLOW_TESTS=1 (they are also exercised "
-            "against the host oracle on real TPU runs)"
+            "each op costs ~1-2.5 min of XLA:CPU compile on this 1-core "
+            "box; add_masked (the MSM hot kernel, whose body embeds the "
+            "others' formulas) runs by default above — set "
+            "SCZK_SLOW_TESTS=1 for the remaining ops"
         )
     if not no.available():
         pytest.skip("native oracle unavailable")
     from scalable_collaborative_zksnark_tpu.curves.pallas_g1 import point_op
 
     cv = bls12_381_g1()
-    n = 9
-    h1, p1 = _mk_points(cv, n, 3)
-    h2, p2 = _mk_points(cv, n, 7)
-    # make interesting cases: equal pair (double), cancel pair, infinities
-    h2[0] = h1[0]
-    h2[1] = (h1[1][0], (-h1[1][1]) % no.P)
-    h2[2] = None
-    h1[3] = None
-    p1 = cv.from_affine_ints(h1)
-    p2 = cv.from_affine_ints(h2)
+    h1, p1, h2, p2 = _case_points(cv)
 
     fq = cv.fq.spec.name
     # general add
+    want = [no.g1_add(a, b) for a, b in zip(h1, h2)]
     x, y, z = point_op("add", fq, (*p1, *p2))
     got = cv.to_affine_ints(PointJ(x, y, z))
-    want = [no.g1_add(a, b) for a, b in zip(h1, h2)]
     assert got == want
 
     # double
@@ -74,12 +103,7 @@ def test_point_kernels_vs_oracle(interpret_mode):
     got = cv.to_affine_ints(PointJ(x, y, z))
     assert got == want
 
-    # masked mixed add
-    mask = jnp.asarray([1, 0, 1, 0, 1, 0, 1, 0, 1], jnp.uint32)
-    x, y, z = point_op("add_masked", fq, (*p1, *p2), mask=mask)
-    got = cv.to_affine_ints(PointJ(x, y, z))
-    want_m = [w if m else a for a, w, m in zip(h1, want, mask.tolist())]
-    assert got == want_m
+    # masked mixed add runs in the default suite above
 
 
 def test_field_kernels_vs_ints(interpret_mode):
