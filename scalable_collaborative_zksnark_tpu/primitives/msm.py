@@ -142,6 +142,16 @@ def _msm_1d_buckets(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
 
     Input points are normalized to affine once (batched inversion) so
     the inner accumulate uses the cheaper mixed add.
+
+    Why NOT affine-batched accumulation (the classic CPU follow-up —
+    replace the Jacobian mixed add with an affine add plus a Montgomery
+    batch inversion per iteration): batch inversion needs a prefix
+    product over the W*2^c accumulate lanes, and TPU's parallel prefix
+    (Hillis-Steele / `associative_scan`) does n*log2(n) work — at 8k
+    lanes that is ~2*13 field muls per lane per iteration to save the
+    ~7-mul difference between mixed-Jacobian (11M+5S) and affine
+    (1I+2M+1S) adds.  The trade only wins on machines with a serial
+    O(n) product pass; on a lane machine it loses ~3x.
     """
     N = scalars_std.shape[-2]
     nbits = scalars_std.shape[-1] * LIMB_BITS
