@@ -233,6 +233,30 @@ def g2_mul(p1, k):
     return acc
 
 
+def g2_linear_map(mat, pts):
+    """out_j = sum_i mat[j, i] * pts[i] over host-int G2 affine points.
+
+    The PSS pack/unpack/unpack2 matrices applied to G2 elements — the
+    host-exact realization of the reference's DomainCoeff genericity
+    (secret-sharing/src/pss.rs:69: the share FFT is generic over any
+    scalar-module, G2 included).  G2 appears only on the verify/SRS
+    side (dpoly_comm.rs powers_of_g2), so a host path is the whole
+    requirement; pts: list of (x, y) Fq2 pairs or None.
+    """
+    import numpy as np
+
+    mat = np.asarray(mat, dtype=object)
+    out = []
+    for j in range(mat.shape[0]):
+        acc = None
+        for i, pt in enumerate(pts):
+            k = int(mat[j, i]) % R
+            if k and pt is not None:
+                acc = g2_add(acc, g2_mul(pt, k))
+        out.append(acc)
+    return out
+
+
 def g1_is_on_curve(p1):
     if p1 is None:
         return True

@@ -235,3 +235,22 @@ class PackedSharingParams:
 
     def unpack2_group(self, curve, shares):
         return curve.linear_map(self.unpack2_matrix(), shares)
+
+    # G2 (host-exact): G2 lives only on the SRS/verify side
+    # (dpoly_comm.rs powers_of_g2), so the DomainCoeff genericity of
+    # pss.rs:69 is realized for it with host-int affine points.
+    def pack_from_public_g2(self, pts):
+        """[l] host G2 affine points -> [n] share points."""
+        from ..curves.host_curve import g2_linear_map
+
+        return g2_linear_map(self.pack_matrix(), pts)
+
+    def unpack_g2(self, shares):
+        from ..curves.host_curve import g2_linear_map
+
+        return g2_linear_map(self.unpack_matrix(), shares)
+
+    def unpack2_g2(self, shares):
+        from ..curves.host_curve import g2_linear_map
+
+        return g2_linear_map(self.unpack2_matrix(), shares)

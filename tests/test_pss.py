@@ -101,3 +101,20 @@ def test_group_packing_bls381():
     # plain unpack roundtrip as well
     back1 = pp.unpack_group(C, shares)
     assert C.to_affine_ints(back1) == pts
+
+
+def test_group_g2_pack_unpack():
+    """G2 packing via the same linear maps (pss.rs:69 DomainCoeff
+    genericity; G2 is SRS/verify-side only, so the path is host-exact)."""
+    from scalable_collaborative_zksnark_tpu.curves import host_curve as hc
+
+    Fr = get_field("bls12_381_fr")
+    pp = PackedSharingParams(Fr, 2)
+    rng = np.random.RandomState(51)
+    ks = [int.from_bytes(rng.bytes(31), "little") % hc.R for _ in range(2)]
+    pts = [hc.g2_mul(hc.G2_GEN, k) for k in ks]
+    shares = pp.pack_from_public_g2(pts)
+    assert len(shares) == 8 * 2
+    assert pp.unpack_g2(shares) == pts
+    doubled = [hc.g2_add(s, s) for s in shares]
+    assert pp.unpack2_g2(doubled) == [hc.g2_mul(q, 2) for q in pts]
