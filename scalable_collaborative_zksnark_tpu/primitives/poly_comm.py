@@ -354,6 +354,17 @@ def srs_random(curve: Curve, n: int, seed: int, n_parties: int = 1,
     """Benchmark SRS with random points (`new_toy`/`new_single`/`new_random`,
     dpoly_comm.rs:115-233): structure-free but size- and cost-faithful.
 
+    Cost parity with `new_ugly` (dpoly_comm.rs:69-113): new_ugly bakes
+    the party-bit factors into the level tensors (its only effect on the
+    PROVER is that d_commit/d_open need no per-party weighting at run
+    time) — here ``party_weights`` are all 1, so ``_scale_by_weights``
+    is skipped at trace time and the benchmark's d_ ops execute the
+    identical work profile.  The honest-weights SRS (srs_from_secret)
+    carries real weights instead, which additionally makes d_open
+    pairing-verify; new_ugly's exact variable-reorder is value-
+    inconsistent by construction (it reuses s[0..log_p] and skips the
+    top secrets) and exists only to be size-faithful.
+
     Points are generated on device as G * k_i for seeded random k_i.
     With packed_parties > 0 also fills ``packed_powers`` with random
     share points sized 2^k / l per party (`new_single` semantics).
