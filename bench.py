@@ -61,16 +61,13 @@ def main() -> None:
     import jax
 
     # Persistent executable cache: a fresh process re-proving the same
-    # config deserializes round-1's executables instead of re-compiling
-    # (the dominant cost of a cold benchmark run).  Disabled on CPU —
-    # XLA:CPU cache entries are CPU-feature-specific and segfault when
-    # loaded on a different machine (tests/conftest.py keys them instead).
-    cache_dir = os.environ.get("SCZK_COMPILE_CACHE",
-                               str(Path(__file__).resolve().parent / ".jax_cache"))
-    if cache_dir and cache_dir != "0" and jax.default_backend() != "cpu":
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # config deserializes prior executables instead of re-compiling
+    # (the dominant cost of a cold benchmark run).
+    from scalable_collaborative_zksnark_tpu.utils.benchlib import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache(Path(__file__).resolve().parent / ".jax_cache")
 
     from scalable_collaborative_zksnark_tpu.hyperplonk import (
         dhyperplonk,
@@ -116,23 +113,9 @@ def main() -> None:
         step_jit = step if mode == "eager" else jax.jit(step)
 
     # block_until_ready is NOT a reliable barrier over the remote-TPU
-    # tunnel (returns before device completion); a jitted checksum that
-    # consumes every output leaf + device_get of the scalar is.
-    import functools as _ft
-
-    import jax.numpy as jnp
-
-    @jax.jit
-    def _checksum(out):
-        leaves = jax.tree.leaves(out)
-        return _ft.reduce(
-            lambda a, b: a + b.ravel()[0].astype(jnp.uint32),
-            leaves,
-            jnp.uint32(0),
-        )
-
-    def barrier(out):
-        return jax.device_get(_checksum(out))
+    # tunnel (returns before device completion); benchlib.barrier's
+    # jitted all-leaves checksum + device_get is.
+    from scalable_collaborative_zksnark_tpu.utils.benchlib import barrier
 
     t0 = time.time()
     out = step_jit(arrays)

@@ -1,0 +1,60 @@
+"""Shared benchmark-harness helpers (bench.py, scripts/sweep.py).
+
+Two facts of the remote-TPU (axon tunnel) execution environment shape
+every timing loop in this repo:
+
+* ``jax.block_until_ready`` returns before device completion over the
+  tunnel — a jitted checksum that consumes every output leaf plus a
+  ``device_get`` of the scalar is the only reliable barrier.
+* Executables are (de)serialized across the tunnel; jax's persistent
+  compilation cache turns the multi-minute cold compile of the prover
+  phases into a per-process deserialize (the axon interposer stages
+  cache entries natively).  XLA:CPU entries are CPU-feature-specific
+  and unsafe to share, so the cache stays off on the CPU backend.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from pathlib import Path
+
+
+def enable_compile_cache(default_dir: str | Path) -> None:
+    """Point jax's persistent compilation cache at ``default_dir``.
+
+    Honors ``SCZK_COMPILE_CACHE`` (path override; "0" disables).
+    No-op on the CPU backend (see module docstring).
+    """
+    import jax
+
+    cache_dir = os.environ.get("SCZK_COMPILE_CACHE", str(default_dir))
+    if cache_dir and cache_dir != "0" and jax.default_backend() != "cpu":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+@functools.cache
+def _checksum():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _sum(out):
+        return functools.reduce(
+            lambda a, b: a + b.ravel()[0].astype(jnp.uint32),
+            jax.tree.leaves(out),
+            jnp.uint32(0),
+        )
+
+    return _sum
+
+
+def barrier(out):
+    """Block until ``out`` is fully materialized on device; returns a
+    checksum scalar (consuming every leaf defeats DCE *and* the
+    tunnel's early-return)."""
+    import jax
+
+    return jax.device_get(_checksum()(out))

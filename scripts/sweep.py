@@ -24,26 +24,22 @@ def run_one(suite: str, n: int, l: int, mode: str):
     import jax
 
     from scalable_collaborative_zksnark_tpu.mpc.net import PartyNet
+    from scalable_collaborative_zksnark_tpu.utils.benchlib import barrier
 
     net = PartyNet(8 * l, mode=mode)
     if suite == "hyperplonk":
         from scalable_collaborative_zksnark_tpu.hyperplonk import (
-            dhyperplonk,
+            dhyperplonk_phased,
             packed_proving_parameters,
         )
-        from scalable_collaborative_zksnark_tpu.hyperplonk.sharding import (
-            pk_arrays,
-            pk_merge,
-        )
 
+        # phased: whole-prover executables exceed the remote-TPU 2 GiB
+        # serialization cap at n >= 12 (same reason as bench.py default)
         pk = packed_proving_parameters(n, l, net)
-        arrays = pk_arrays(pk)
-        step = jax.jit(lambda ar: dhyperplonk(n, pk_merge(pk, ar), net))
-        out = step(arrays)
-        jax.block_until_ready(out)
+        step = lambda: dhyperplonk_phased(n, pk, net)
+        barrier(step())
         t0 = time.perf_counter()
-        out = step(arrays)
-        jax.block_until_ready(out)
+        barrier(step())
         dt = time.perf_counter() - t0
     elif suite == "sumcheck":
         from scalable_collaborative_zksnark_tpu.fields.fr import get_field
@@ -59,11 +55,9 @@ def run_one(suite: str, n: int, l: int, mode: str):
         g = F.random((P, (1 << n) // l), 2)
         ch = F.random((n + 4,), 3)
         step = jax.jit(lambda a, b, c: c_sumcheck_product(pp, net, a, b, c))
-        out = step(f, g, ch)
-        jax.block_until_ready(out)
+        barrier(step(f, g, ch))
         t0 = time.perf_counter()
-        out = step(f, g, ch)
-        jax.block_until_ready(out)
+        barrier(step(f, g, ch))
         dt = time.perf_counter() - t0
     elif suite == "poly_comm":
         from scalable_collaborative_zksnark_tpu.curves.g1 import bls12_381_g1
@@ -81,11 +75,9 @@ def run_one(suite: str, n: int, l: int, mode: str):
         pe = F.random((P, (1 << n) // l), 1)
         pt = F.random((n + 2,), 2)
         step = jax.jit(lambda a, b: c_open(srs, pp, net, a, b))
-        out = step(pe, pt)
-        jax.block_until_ready(out)
+        barrier(step(pe, pt))
         t0 = time.perf_counter()
-        out = step(pe, pt)
-        jax.block_until_ready(out)
+        barrier(step(pe, pt))
         dt = time.perf_counter() - t0
     else:
         raise SystemExit(f"unknown suite {suite}")
@@ -110,6 +102,11 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from scalable_collaborative_zksnark_tpu.utils.benchlib import (
+        enable_compile_cache,
+    )
+
+    enable_compile_cache(Path(__file__).resolve().parent.parent / ".jax_cache")
 
     rows = []
     for l in args.l:
