@@ -68,12 +68,16 @@ def _mont_mul_tiles(at, bt, p_col, n0inv, L):
         atr, t = state
         ai = atr[0:1, :]  # [1, M]
         prod = ai * bt  # [L, M] exact 32-bit products
-        t = addlo(t, prod & LIMB_MASK)
-        t = addhi(t, prod >> LIMB_BITS)
-        m = ((t[0] & LIMB_MASK) * n0inv) & LIMB_MASK
+        # m from ROW values before any tile-wide add (t0 + lo(a_i*b_0)
+        # determines the Montgomery quotient), so the prod and m*p
+        # contributions merge into ONE addlo/addhi pair — 2 fewer [L, M]
+        # passes per limb row than adding them separately.
+        m = (((t[0] + (prod[0] & LIMB_MASK)) & LIMB_MASK) * n0inv) & LIMB_MASK
         mp = m[None, :] * p_col  # [L, M]
-        t = addlo(t, mp & LIMB_MASK)
-        t = addhi(t, mp >> LIMB_BITS)
+        lo = (prod & LIMB_MASK) + (mp & LIMB_MASK)  # < 2^17
+        hi = (prod >> LIMB_BITS) + (mp >> LIMB_BITS)
+        t = addlo(t, lo)
+        t = addhi(t, hi)
         carry = t[0:1] >> LIMB_BITS
         t = jnp.concatenate([t[1:2] + carry, t[2:], zrow], axis=0)
         atr = jnp.concatenate([atr[1:], atr[:1]], axis=0)
