@@ -20,6 +20,12 @@ def main():
         choices=("local", "localpp", "dist", "dist-dp"),
         default="dist",
     )
+    ap.add_argument(
+        "--verify",
+        action="store_true",
+        help="local variant: build an honest SRS and run the full proof "
+             "verifier (transcript binding + pairing checks) on the bundle",
+    )
     args = ap.parse_args()
     setup(args)
     import jax
@@ -39,6 +45,29 @@ def main():
     n = args.n
 
     if args.variant in ("local", "localpp"):
+        if args.verify:
+            import numpy as np
+
+            from scalable_collaborative_zksnark_tpu.curves import host_curve as hc
+            from scalable_collaborative_zksnark_tpu.hyperplonk import (
+                local_inputs,
+                verify_local_hyperplonk,
+            )
+            from scalable_collaborative_zksnark_tpu.primitives.poly_comm import (
+                srs_from_secret,
+            )
+
+            rng = np.random.RandomState(11)
+            s = [int.from_bytes(rng.bytes(40), "little") % curve.fr.p
+                 for _ in range(n + 2)]
+            srs = srs_from_secret(curve, hc.G1_GEN, hc.G2_GEN, s)
+            ins = local_inputs(curve.fr, n)
+            proof = local_hyperplonk(n, srs, ins)
+            with Timer() as t:
+                ok, fails = verify_local_hyperplonk(n, srs, proof, ins)
+            print(f"verify local hyperplonk n={n}: ok={ok} "
+                  f"({t.dt:.3f} s){'; ' + '; '.join(fails) if fails else ''}")
+            return
         srs = srs_random(curve, n + 2, 7)
         fn = local_hyperplonk if args.variant == "local" else local_hyperplonkpp
         out = fn(n, srs)

@@ -12,9 +12,11 @@ from .collaborative import (
 )
 from .local import LocalInputs, local_hyperplonk, local_hyperplonkpp, local_inputs
 from .params import PackedProvingParameters, packed_proving_parameters
+from .verify import verify_local_hyperplonk
 
 __all__ = [
     "LocalInputs",
+    "verify_local_hyperplonk",
     "PackedProvingParameters",
     "cpermcheck",
     "dhyperplonk",

@@ -1,0 +1,147 @@
+"""End-to-end HyperPlonk proof verification.
+
+The reference ships per-primitive verifier oracles in its tests but no
+composed proof verifier — its examples prove and never check
+(hyperplonk.rs, examples/*).  A delegation framework needs one: this
+module verifies the complete ``local_hyperplonk`` proof bundle —
+
+1. every sumcheck-product transcript is round-consistent and degree-2
+   (the dsumcheck.rs:541-588 oracle semantics),
+2. each transcript's FINAL value is bound to the PCS-opened evaluations
+   of its two constituent polynomials at the transcript's challenge
+   point (e.g. the a*b gate transcript must end at a(r)*b(r)),
+3. every opening pairing-verifies against its commitment,
+4. opened values of PUBLIC polynomials (selectors q1/q2, circuit input)
+   equal the verifier's own MLE evaluation.
+
+What is NOT checked, and why: the placeholder-input protocol (both here
+and in the reference, hyperplonk.rs:70-72) never commits the witness
+polynomial m, so the num/den wire-polynomial RELATIONS
+(num = w + alpha*sid + beta, ...) cannot be re-derived by the verifier;
+their transcripts and openings are still checked as in 1-3.
+
+Verification runs on the host (Python ints + the native pairing
+oracle): proof sizes are logarithmic, so device lanes would be idle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..curves import host_curve as hc
+from ..fields.fr import Field
+from ..primitives.mle import fix_variable
+from ..primitives.poly_comm import PolynomialCommitment
+from ..primitives.sumcheck import check_sumcheck_product
+from .local import LocalInputs
+
+
+def eval_mle_ints(F: Field, evals: jnp.ndarray, point: jnp.ndarray) -> int:
+    """Evaluate a multilinear table [2^k, L] at a point [k, L] -> int."""
+    k = evals.shape[-2].bit_length() - 1
+    v = fix_variable(F, evals, point[:k])
+    return int(F.array_to_ints(v)[0])
+
+
+def transcript_ints(F: Field, msgs: jnp.ndarray) -> List[List[int]]:
+    """[k, 3, L] sumcheck messages -> [[t0, t1, t2] ints]."""
+    return [[int(x) for x in F.array_to_ints(row)] for row in msgs]
+
+
+def _check_product_transcript(
+    F: Field, msgs, challenge_ints, expect_final: int, failures, tag: str
+) -> None:
+    proof = transcript_ints(F, msgs)
+    h = (proof[0][0] + proof[0][1]) % F.p
+    if not check_sumcheck_product(F, h, proof, challenge_ints):
+        failures.append(f"{tag}: transcript round-consistency")
+    # final binding: the last row is (0, f(r)*g(r), 0) (sumcheck.py) and
+    # check_sumcheck_product already pinned it to round k-1's polynomial;
+    # pin it to the OPENED evaluations too.
+    if proof[-1][1] % F.p != expect_final % F.p:
+        failures.append(f"{tag}: final value != product of opened evals")
+
+
+def _vrfy_open(srs, com, opn, point_ints, g2_offset, failures, tag, pairings):
+    value = int(srs.curve.fr.array_to_ints(opn[0][None])[0]) \
+        if opn[0].ndim == 1 else int(srs.curve.fr.array_to_ints(opn[0])[0])
+    if pairings:
+        proofs = opn[1]
+        if not srs.verify(com, value, proofs, point_ints, g2_offset=g2_offset):
+            failures.append(f"{tag}: pairing check")
+    return value
+
+
+def verify_local_hyperplonk(
+    n: int,
+    srs: PolynomialCommitment,
+    proof,
+    ins: LocalInputs,
+    pairings: bool = True,
+) -> Tuple[bool, List[str]]:
+    """Verify a ``local_hyperplonk`` proof bundle.
+
+    ``ins`` supplies the VERIFIER's data: the challenge points and the
+    public polynomials (selectors q1/q2, circuit input, the eq tables).
+    Returns (ok, failure descriptions).  ``pairings=False`` skips the
+    (host-slow) pairing checks and keeps the algebraic binding checks.
+    """
+    F = srs.curve.fr
+    (gate_proofs, gate_coms), (wire_proofs, wire_commits, wire_opens) = proof
+    failures: List[str] = []
+
+    ch = [int(x) for x in F.array_to_ints(ins.challenge)]
+    chp2 = [int(x) for x in F.array_to_ints(ins.challengep2)]
+
+    # -- gate section: openings of a,b,c,input,q1,q2 at `challenge` ----
+    names = ("a", "b", "c", "input", "q1", "q2")
+    vals = {}
+    for name, (com, opn) in zip(names, gate_coms):
+        vals[name] = _vrfy_open(
+            srs, com, opn, ch, 2, failures, f"open[{name}]", pairings
+        )
+    # public polynomials: opened value must equal our own evaluation
+    for name, tbl in (("input", ins.input), ("q1", ins.q1), ("q2", ins.q2)):
+        if vals[name] != eval_mle_ints(F, tbl, ins.challenge):
+            failures.append(f"open[{name}]: public value mismatch")
+    eqv = eval_mle_ints(F, ins.eq, ins.challenge)
+
+    p = F.p
+    gate_expect = [
+        eqv * vals["q1"] % p,
+        vals["q1"] * (vals["a"] + vals["b"]) % p,
+        eqv * vals["q2"] % p,
+        vals["a"] * vals["b"] % p,
+        vals["q2"] * vals["a"] % p,
+        eqv * ((vals["input"] - vals["c"]) % p) % p,
+    ]
+    for i, (msgs, exp) in enumerate(zip(gate_proofs, gate_expect)):
+        _check_product_transcript(F, msgs, ch, exp, failures, f"gate[{i}]")
+
+    # -- wire section: 8 polys at `challengep2` ------------------------
+    wnames = ("sid", "ssigma", "h", "num", "den", "vx0", "vx1", "v1x")
+    wvals = {}
+    for name, com, opn in zip(wnames, wire_commits, wire_opens):
+        wvals[name] = _vrfy_open(
+            srs, com, opn, chp2, 0, failures, f"open[{name}]", pairings
+        )
+    for name, tbl in (("sid", ins.sid), ("ssigma", ins.ssigma)):
+        if wvals[name] != eval_mle_ints(F, tbl, ins.challengep2):
+            failures.append(f"open[{name}]: public value mismatch")
+    eqp2v = eval_mle_ints(F, ins.eq_p2, ins.challengep2)
+
+    wire_expect = [
+        eqp2v * wvals["v1x"] % p,
+        eqp2v * wvals["vx0"] % p,
+        wvals["vx0"] * wvals["vx1"] % p,
+        eqp2v * wvals["den"] % p,
+        wvals["h"] * wvals["den"] % p,
+        eqp2v * wvals["num"] % p,
+    ]
+    for i, (msgs, exp) in enumerate(zip(wire_proofs, wire_expect)):
+        _check_product_transcript(F, msgs, chp2, exp, failures, f"wire[{i}]")
+
+    return not failures, failures

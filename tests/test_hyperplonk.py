@@ -256,3 +256,43 @@ def test_dhyperplonk_comm_totals_pinned():
         assert net.comm(0) == lead, (n, l, net.comm(0))
         assert net.comm(3) == work, (n, l, net.comm(3))
         assert net.rounds == rounds, (n, l, net.rounds)
+
+
+def test_full_proof_verifier():
+    """End-to-end verifier (hyperplonk/verify.py): the complete
+    local_hyperplonk bundle passes — transcripts, final-value binding to
+    opened evals, pairing checks, public-value checks — and targeted
+    corruptions are caught."""
+    from scalable_collaborative_zksnark_tpu.hyperplonk.local import local_inputs
+    from scalable_collaborative_zksnark_tpu.hyperplonk.verify import (
+        verify_local_hyperplonk,
+    )
+
+    n = 3
+    srs = honest_srs(n + 2, seed=23)
+    ins = local_inputs(F, n, seed=5)
+    proof = local_hyperplonk(n, srs, ins, c=C)
+    ok, fails = verify_local_hyperplonk(n, srs, proof, ins)
+    assert ok, fails
+
+    # corrupt one gate transcript message -> round consistency breaks
+    (gp, gc), wire = proof
+    bad_gp = list(gp)
+    bad_gp[3] = bad_gp[3].at[1, 1, 0].add(1)
+    ok, fails = verify_local_hyperplonk(n, srs, ((bad_gp, gc), wire), ins,
+                                        pairings=False)
+    assert not ok and any("gate[3]" in f for f in fails)
+
+    # corrupt an opened value -> pairing check breaks
+    com, (val, pis) = gc[0]
+    bad_gc = list(gc)
+    bad_gc[0] = (com, (F.add(val, F.const(1)), pis))
+    ok, fails = verify_local_hyperplonk(n, srs, ((gp, bad_gc), wire), ins)
+    assert not ok and any("open[a]: pairing" in f for f in fails)
+
+    # swap a wire commitment -> its opening no longer pairs
+    wp, wc, wo = wire
+    bad_wc = list(wc)
+    bad_wc[2], bad_wc[3] = bad_wc[3], bad_wc[2]
+    ok, fails = verify_local_hyperplonk(n, srs, ((gp, gc), (wp, bad_wc, wo)), ins)
+    assert not ok and any("open[h]" in f or "open[num]" in f for f in fails)
