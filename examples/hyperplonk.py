@@ -79,6 +79,43 @@ def main():
         return
 
     net = PartyNet(8 * args.l, mode=args.mode)
+    if args.verify:
+        if args.variant != "dist" or args.mode != "sim":
+            raise SystemExit("--verify needs --variant dist --mode sim")
+        import numpy as np
+
+        from scalable_collaborative_zksnark_tpu.curves import host_curve as hc
+        from scalable_collaborative_zksnark_tpu.hyperplonk.params import (
+            consistent_proving_parameters,
+        )
+        from scalable_collaborative_zksnark_tpu.hyperplonk.verify import (
+            verify_dhyperplonk_gate,
+        )
+        from scalable_collaborative_zksnark_tpu.primitives.poly_comm import (
+            srs_from_secret,
+            srs_packed,
+        )
+        from scalable_collaborative_zksnark_tpu.pss.pss import PackedSharingParams
+
+        pp = PackedSharingParams(curve.fr, args.l)
+        rng = np.random.RandomState(13)
+        sec = lambda: [int.from_bytes(rng.bytes(40), "little") % curve.fr.p
+                       for _ in range(n + 2)]
+        d_srs = srs_from_secret(curve, hc.G1_GEN, hc.G2_GEN, sec(),
+                                n_parties=net.n)
+        c_plain = srs_from_secret(curve, hc.G1_GEN, hc.G2_GEN, sec())
+        c_srs = srs_packed(c_plain, pp)
+        pk, g = consistent_proving_parameters(
+            n, args.l, net, srs={"c": c_srs, "d": d_srs}, curve=curve
+        )
+        gate, _wire = dhyperplonk(n, pk, net)
+        with Timer() as t:
+            ok, fails = verify_dhyperplonk_gate(
+                pp, c_plain, d_srs, gate, g["eq"], pk.challenge
+            )
+        print(f"verify dhyperplonk gate section n={n} l={args.l}: ok={ok} "
+              f"({t.dt:.3f} s){'; ' + '; '.join(fails) if fails else ''}")
+        return
     pk = packed_proving_parameters(n, args.l, net, curve=curve)
     fn = dhyperplonk if args.variant == "dist" else dhyperplonk_data_parallel
     out = fn(n, pk, net)

@@ -145,3 +145,85 @@ def verify_local_hyperplonk(
         _check_product_transcript(F, msgs, chp2, exp, failures, f"wire[{i}]")
 
     return not failures, failures
+
+
+# ---------------------------------------------------------------------------
+# Collaborative proof assembly + verification
+# ---------------------------------------------------------------------------
+def _unpack_point(pp, curve, pt_shares):
+    """PointJ share batch [N, ...] -> the secret point (l=...[0])."""
+    sec = pp.unpack_group(
+        curve, jax.tree.map(lambda a: jnp.moveaxis(a, 0, -2), pt_shares)
+    )
+    return jax.tree.map(lambda a: a[..., 0, :], sec)
+
+
+def verify_dhyperplonk_gate(
+    pp,
+    c_srs_plain: PolynomialCommitment,
+    d_srs: PolynomialCommitment,
+    proof,
+    eq: jnp.ndarray,
+    challenge: jnp.ndarray,
+    pairings: bool = True,
+) -> Tuple[bool, List[str]]:
+    """Assemble and verify the gate section of a ``dhyperplonk`` proof.
+
+    The verifier's view after the parties hand over their shares
+    (``sim`` mode: proof elements carry the party axis): each of the six
+    gate transcripts unpacks across parties to the monolithic
+    transcript; the c_opened witness values (a, b, c) and d_opened
+    index/selector values (I, S1, S2) bind every transcript's final
+    value; all six openings pairing-verify.
+
+    ``proof`` = the (gate_proofs, gate_coms) half of dhyperplonk's
+    output, run from ``consistent_proving_parameters`` shares with
+    honest SRSs (params.py); ``c_srs_plain`` is the UNPACKED
+    secret-derived SRS matching the packed c-SRS; ``eq`` the global eq
+    table (public).  Transcripts are over ``challenge`` (n variables
+    under the (n+2)-variable SRSs -> g2 offset 2).
+    """
+    F = c_srs_plain.curve.fr
+    curve = c_srs_plain.curve
+    gate_proofs, gate_coms = proof
+    failures: List[str] = []
+    p = F.p
+    ch = [int(x) for x in F.array_to_ints(challenge)]
+
+    # -- openings: a, b, c via c_open; I, S1, S2 via d_open ------------
+    vals = {}
+    for name, (com_sh, (val_sh, pis_sh)) in zip("abc", gate_coms[:3]):
+        com = _unpack_point(pp, curve, com_sh)
+        val = int(F.array_to_ints(pp.unpack(val_sh))[0])
+        R = pis_sh.x.shape[1]
+        pis = [
+            _unpack_point(pp, curve, jax.tree.map(lambda a, _i=i: a[:, _i], pis_sh))
+            for i in range(R)
+        ]
+        if pairings and not c_srs_plain.verify(com, val, pis, ch, g2_offset=2):
+            failures.append(f"c_open[{name}]: pairing check")
+        vals[name] = val
+    for name, (com_sh, (dval, dpis)) in zip(("I", "S1", "S2"), gate_coms[3:6]):
+        com = jax.tree.map(lambda a: a[0], com_sh)
+        val = int(F.array_to_ints(dval[None])[0])
+        if pairings and not d_srs.verify(com, val, dpis, ch, g2_offset=2):
+            failures.append(f"d_open[{name}]: pairing check")
+        vals[name] = val
+
+    eqv = eval_mle_ints(F, eq, challenge)
+
+    # -- six transcripts, unpacked across parties ----------------------
+    expect = [
+        eqv * vals["S1"] % p,
+        vals["S1"] * (vals["a"] + vals["b"]) % p,
+        eqv * vals["S2"] % p,
+        vals["a"] * vals["b"] % p,
+        vals["S2"] * vals["a"] % p,
+        eqv * ((vals["I"] - vals["c"]) % p) % p,
+    ]
+    for i, (msgs_sh, exp) in enumerate(zip(gate_proofs, expect)):
+        secrets = pp.unpack2(jnp.moveaxis(msgs_sh, 0, -2))  # [R, 3, l, L]
+        msgs = F.sum(secrets, axis=-2)
+        _check_product_transcript(F, msgs, ch, exp, failures, f"gate[{i}]")
+
+    return not failures, failures

@@ -230,6 +230,23 @@ def test_dhyperplonk_transcripts_and_openings_verify():
     dvi = int(F.array_to_ints(dval[None])[0])
     assert d_srs.verify(dcom, dvi, dpis, ch_ints, g2_offset=2)
 
+    # 4. the library assembler/verifier covers all 6 transcripts + opens
+    from scalable_collaborative_zksnark_tpu.hyperplonk.verify import (
+        verify_dhyperplonk_gate,
+    )
+
+    ok, fails = verify_dhyperplonk_gate(
+        pp, c_plain, d_srs, (gate_proofs, gate_coms), g["eq"], pk.challenge
+    )
+    assert ok, fails
+    bad = [m for m in gate_proofs]
+    bad[1] = bad[1].at[:, 0, 1, 0].add(1)
+    ok, fails = verify_dhyperplonk_gate(
+        pp, c_plain, d_srs, (bad, gate_coms), g["eq"], pk.challenge,
+        pairings=False,
+    )
+    assert not ok and any("gate[1]" in f for f in fails)
+
 
 def test_dhyperplonk_comm_totals_pinned():
     """Exact per-party byte totals (VERDICT item 8): the analytic
