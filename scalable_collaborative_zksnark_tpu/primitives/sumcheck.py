@@ -75,6 +75,22 @@ def _rounds_product(F: Field, cur_f, cur_g, challenges, start, count):
     M = cur_f.shape[-2]
     if count == M.bit_length() - 1 and count > 0 and psc.supported(M):
         return psc.product_phase(F, cur_f, cur_g, challenges, start)
+    if (
+        count == M.bit_length() - 1
+        and M > psc.MAX_M
+        and psc.supported(psc.MAX_M)
+    ):
+        # tables too big for exact-u32 column sums in VMEM: peel rounds
+        # unfused until the table fits, then fuse the remaining fold
+        # (the bulk of the rounds) into the one-kernel phase.
+        peel = M.bit_length() - 1 - (psc.MAX_M.bit_length() - 1)
+        head, cur_f, cur_g = _rounds_product(
+            F, cur_f, cur_g, challenges, start, peel
+        )
+        tail, ff, gf = psc.product_phase(
+            F, cur_f, cur_g, challenges, start + peel
+        )
+        return head + tail, ff, gf
     msgs = []
     two = F.const(2)
     for i in range(count):

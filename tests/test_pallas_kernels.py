@@ -150,3 +150,25 @@ def test_fused_sumcheck_phase_vs_jnp(interpret_mode):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(k_f), np.asarray(j_f))
     np.testing.assert_array_equal(np.asarray(k_g), np.asarray(j_g))
+
+
+def test_sumcheck_peel_then_fuse(interpret_mode, monkeypatch):
+    """Tables above the fused kernel's exact-u32 bound peel unfused
+    rounds then fuse the tail — bitwise equal to the pure path."""
+    from scalable_collaborative_zksnark_tpu.fields.fr import get_field
+    from scalable_collaborative_zksnark_tpu.primitives import (
+        pallas_sumcheck as psc,
+    )
+    from scalable_collaborative_zksnark_tpu.primitives.sumcheck import (
+        sumcheck_product,
+    )
+
+    F = get_field("bls12_381_fr")
+    monkeypatch.setattr(psc, "MAX_M", 128)
+    f = F.random((1, 512), 21)
+    g = F.random((1, 512), 22)
+    ch = F.random((12,), 23)
+    fused = sumcheck_product(F, f, g, ch)
+    monkeypatch.setenv("SCZK_NO_PALLAS", "1")
+    ref = sumcheck_product(F, f, g, ch)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
