@@ -87,6 +87,62 @@ def _mont_mul_tiles(at, bt, p_col, n0inv, L):
     return [t[j] for j in range(L + 1)]
 
 
+def _mont_mul_tiles2(at, bt, p_col, n0inv, L):
+    """Two limb rows of ``at`` per iteration (L/2 iterations).
+
+    Same arithmetic as :func:`_mont_mul_tiles` (so the result integer is
+    identical), but the shift-down, carry fixup and operand rotation are
+    paid once per TWO rows, and the two rows' contributions merge into
+    three padded adds — ~10.5 tile ops per row vs ~13 for the
+    single-row form.  Row i+1's quotient m chains through row-level
+    ([1, M]) ops only.  ``t`` carries two overflow rows: columns stay
+    < 2^24 (2 x the single-row redundancy bound), and the final value
+    is < 2p, so the (L+2)-row total still reduces with one conditional
+    subtract.  Requires L even (all shipped fields: 16 / 24 limbs).
+    """
+    M = at.shape[1]
+    t0 = jnp.zeros((L + 2, M), jnp.uint32)
+    zrow = jnp.zeros((1, M), jnp.uint32)
+    z2 = jnp.zeros((2, M), jnp.uint32)
+
+    def body(_, state):
+        atr, t = state
+        ai = atr[0:1, :]
+        aj = atr[1:2, :]
+        prod_i = ai * bt  # [L, M]
+        m_i = (((t[0] + (prod_i[0] & LIMB_MASK)) & LIMB_MASK) * n0inv) & LIMB_MASK
+        mp_i = m_i[None, :] * p_col
+        lo_i = (prod_i & LIMB_MASK) + (mp_i & LIMB_MASK)  # < 2^17
+        hi_i = (prod_i >> LIMB_BITS) + (mp_i >> LIMB_BITS)
+        # row i+1's quotient needs t'[0] = t[1] + lo_i[1] + hi_i[0] +
+        # carry_i (+ lo_{i+1}[0]) — all row-level values
+        carry_i = (t[0] + lo_i[0]) >> LIMB_BITS
+        prod_j = aj * bt
+        tp0 = t[1] + lo_i[1] + hi_i[0] + carry_i + (prod_j[0] & LIMB_MASK)
+        m_j = ((tp0 & LIMB_MASK) * n0inv) & LIMB_MASK
+        mp_j = m_j[None, :] * p_col
+        lo_j = (prod_j & LIMB_MASK) + (mp_j & LIMB_MASK)
+        hi_j = (prod_j >> LIMB_BITS) + (mp_j >> LIMB_BITS)
+        # contributions in t coordinates: lo_i @ 0.., hi_i + lo_j @ 1..,
+        # hi_j @ 2..
+        B = hi_i + lo_j  # < 2^18
+        t = (
+            t
+            + jnp.concatenate([lo_i, z2], axis=0)
+            + jnp.concatenate([zrow, B, zrow], axis=0)
+            + jnp.concatenate([z2, hi_j], axis=0)
+        )
+        c0 = t[0:1] >> LIMB_BITS  # t[0] low16 == 0 by choice of m_i
+        t1 = t[1:2] + c0
+        c1 = t1 >> LIMB_BITS  # t[1] low16 == 0 by choice of m_j
+        t = jnp.concatenate([t[2:3] + c1, t[3:], z2], axis=0)
+        atr = jnp.concatenate([atr[2:], atr[:2]], axis=0)
+        return atr, t
+
+    _, t = jax.lax.fori_loop(0, L // 2, body, (at, t0))
+    return [t[j] for j in range(L + 2)]
+
+
 def _carry_rows(t_cols, L):
     """Propagate 16-bit carries over L column rows -> (limbs, carry)."""
     c = jnp.zeros_like(t_cols[0])
@@ -118,9 +174,17 @@ def mul_t(at, bt, p_np, n0inv, L, p_col=None):
     same limbs as a [L, 1] array operand for the scan body."""
     if p_col is None:
         raise ValueError("mul_t needs the p_col operand")
-    t = _mont_mul_tiles(at, bt, p_col, n0inv, L)
-    limbs, carry = _carry_rows(t[:L], L)
-    carry = carry + t[L]
+    import os
+
+    if L % 2 == 0 and os.environ.get("SCZK_CIOS2", "1") != "0":
+        t = _mont_mul_tiles2(at, bt, p_col, n0inv, L)
+        limbs, carry = _carry_rows(t[:L], L)
+        # overflow rows in 2^(16L) units; total < 2 since result < 2p
+        carry = carry + t[L] + (t[L + 1] << LIMB_BITS)
+    else:
+        t = _mont_mul_tiles(at, bt, p_col, n0inv, L)
+        limbs, carry = _carry_rows(t[:L], L)
+        carry = carry + t[L]
     return jnp.stack(_cond_sub_p_rows(limbs, carry, p_np, L), axis=0)
 
 
