@@ -149,10 +149,26 @@ def _wire_part_a(
         net,
         _stackp([den, h_p, num]),
         _stackp([pk.eq_r2_p, den, pk.eq_r2_p]),
-        pk.challenge_r2,
+        _dsum_ch(net, pk.challenge_r2),
     )
     proofs.extend(_unstack(z3, 3, axis=0))
     return proofs, commits, opens, (v1x, vx0, vx1, leader_tree)
+
+
+def _dsum_ch(net: PartyNet, ch: jnp.ndarray) -> jnp.ndarray:
+    """Challenge order for d_sumcheck_product calls.
+
+    DOCUMENTED DEVIATION (same class as sumcheck.py's phase-2 fix): the
+    reference's d_sumcheck consumes challenge[0..] in round order
+    (dsumcheck.rs:319-353) while d_open binds the party/root variables
+    to point[:s] FIRST (dpoly_comm.rs:432-441) — so the transcript and
+    the opening of the same polynomial evaluate at block-swapped points
+    and can never be checked against each other.  Feeding the local
+    rounds ch[s:] and the leader rounds ch[:s] makes both evaluate at
+    ``ch`` proper; see verify.verify_dhyperplonk_wire_a.
+    """
+    s = net.n.bit_length() - 1
+    return jnp.concatenate([ch[s:], ch[:s]], axis=0)
 
 
 def _zerocheck_layer(pk, net, cur_v1x, cur_vx0, cur_vx1, cur_eq, ch, c):
@@ -164,7 +180,7 @@ def _zerocheck_layer(pk, net, cur_v1x, cur_vx0, cur_vx1, cur_eq, ch, c):
         net,
         _stackp([cur_eq, cur_eq, cur_vx0]),
         _stackp([cur_v1x, cur_vx0, cur_vx1]),
-        ch,
+        _dsum_ch(net, ch),
     )
     val3, pis3 = pk.d_commitment.d_open(
         net, _stackp([cur_v1x, cur_vx0, cur_vx1]), ch, c=c

@@ -51,17 +51,32 @@ def transcript_ints(F: Field, msgs: jnp.ndarray) -> List[List[int]]:
     return [[int(x) for x in F.array_to_ints(row)] for row in msgs]
 
 
+def _eval_deg2(p: int, row, x: int) -> int:
+    """Evaluate the degree-2 round polynomial from its (t=0,1,2) values."""
+    inv2 = pow(2, -1, p)
+    a = (row[2] - 2 * row[1] + row[0]) * inv2 % p
+    b = (-row[2] + 4 * row[1] - 3 * row[0]) * inv2 % p
+    return (a * x * x + b * x + row[0]) % p
+
+
 def _check_product_transcript(
-    F: Field, msgs, challenge_ints, expect_final: int, failures, tag: str
+    F: Field, msgs, challenge_ints, expect_final: int, failures, tag: str,
+    has_final_row: bool = True,
 ) -> None:
     proof = transcript_ints(F, msgs)
     h = (proof[0][0] + proof[0][1]) % F.p
     if not check_sumcheck_product(F, h, proof, challenge_ints):
         failures.append(f"{tag}: transcript round-consistency")
-    # final binding: the last row is (0, f(r)*g(r), 0) (sumcheck.py) and
-    # check_sumcheck_product already pinned it to round k-1's polynomial;
-    # pin it to the OPENED evaluations too.
-    if proof[-1][1] % F.p != expect_final % F.p:
+    # final binding to the OPENED evaluations: local/c_ transcripts end
+    # with a (0, f(r)*g(r), 0) row already pinned by the consistency
+    # check; d_ transcripts (like the reference's, dsumcheck.rs:433)
+    # have no trailing value row, so evaluate the LAST round polynomial
+    # at the last challenge instead.
+    if has_final_row:
+        got = proof[-1][1] % F.p
+    else:
+        got = _eval_deg2(F.p, proof[-1], challenge_ints[len(proof) - 1])
+    if got != expect_final % F.p:
         failures.append(f"{tag}: final value != product of opened evals")
 
 
@@ -225,5 +240,76 @@ def verify_dhyperplonk_gate(
         secrets = pp.unpack2(jnp.moveaxis(msgs_sh, 0, -2))  # [R, 3, l, L]
         msgs = F.sum(secrets, axis=-2)
         _check_product_transcript(F, msgs, ch, exp, failures, f"gate[{i}]")
+
+    return not failures, failures
+
+
+def verify_dhyperplonk_wire_a(
+    pp,
+    d_srs: PolynomialCommitment,
+    wire,
+    eq_r2: jnp.ndarray,
+    challenge_r2: jnp.ndarray,
+    pairings: bool = True,
+) -> Tuple[bool, List[str]]:
+    """Verify the wire-identity part-a section of a ``dhyperplonk`` proof.
+
+    Checks (same preconditions as :func:`verify_dhyperplonk_gate`):
+    the two collaborative openings of the witness V (at r1 and r2)
+    pairing-verify after unpacking; the distributed openings of s and
+    of the 5-poly group (ssigma, sid, h, num, den at r2) pairing-verify;
+    and the three direct-zerocheck transcripts bind to the opened
+    h/num/den values and the public eq(r2, x) evaluation.  The layered
+    zerocheck (wire part b) folds per-layer slices whose challenge
+    prefixes are protocol-internal; its transcripts are covered by the
+    sharded-equality and count tests instead.
+    """
+    F = d_srs.curve.fr
+    proofs, commits, opens = wire
+    failures: List[str] = []
+    p = F.p
+    ch2 = [int(x) for x in F.array_to_ints(challenge_r2)]
+
+    # V (opens[0], opens[1]) is opened but never committed in
+    # the protocol (dhyperplonk.rs:296-325 — same placeholder structure
+    # as the reference), so there is no commitment to pair its openings
+    # against; their cost and comm are still exercised and counted.
+
+    # d_open of s at r2 (opens[2]) pairs against d_commit(s) (commits[0])
+    sval, spis = opens[2]
+    sv = int(F.array_to_ints(sval[None] if sval.ndim == 1 else sval)[0])
+    scom = jax.tree.map(lambda a: a[0], commits[0])
+    if pairings and not d_srs.verify(scom, sv, spis, ch2):
+        failures.append("d_open[s]: pairing check")
+
+    # the 8-group commit (commits[1..8]) and 5-group open (opens[3..8])
+    wnames = ("ssigma", "sid", "h", "num", "den")
+    wvals = {}
+    for i, name in enumerate(wnames):
+        dval, dpis = opens[3 + i]
+        val = int(F.array_to_ints(dval[None] if dval.ndim == 1 else dval)[0])
+        com = jax.tree.map(lambda a: a[0], commits[1 + i])
+        if pairings and not d_srs.verify(com, val, dpis, ch2):
+            failures.append(f"d_open[{name}]: pairing check")
+        wvals[name] = val
+
+    eqv = eval_mle_ints(F, eq_r2, challenge_r2)
+    # direct zerocheck: (den, eq_r2), (h, den), (num, eq_r2).  The
+    # transcripts consume the challenge in d_sumcheck round order —
+    # local rounds ch[s:] first, leader rounds ch[:s] last (the _dsum_ch
+    # alignment, collaborative.py) — so round consistency checks against
+    # that order while the final value binds to the openings at ch2.
+    s = pp.n.bit_length() - 1
+    chd = ch2[s:] + ch2[:s]
+    expect = [
+        wvals["den"] * eqv % p,
+        wvals["h"] * wvals["den"] % p,
+        wvals["num"] * eqv % p,
+    ]
+    for i, exp in enumerate(expect):
+        _check_product_transcript(
+            F, proofs[1 + i], chd, exp, failures, f"zerocheck[{i}]",
+            has_final_row=False,
+        )
 
     return not failures, failures

@@ -247,6 +247,25 @@ def test_dhyperplonk_transcripts_and_openings_verify():
     )
     assert not ok and any("gate[1]" in f for f in fails)
 
+    # 5. wire part-a: s + 5-group openings pair against their commits,
+    # direct-zerocheck transcripts bind to the opened h/num/den values
+    from scalable_collaborative_zksnark_tpu.hyperplonk.verify import (
+        verify_dhyperplonk_wire_a,
+    )
+
+    ok, fails = verify_dhyperplonk_wire_a(
+        pp, d_srs, _wire, g["eq_r2"], pk.challenge_r2
+    )
+    assert ok, fails
+    wp, wc, wo = _wire
+    bad_wp = list(wp)
+    bad_wp[2] = bad_wp[2].at[0, 1, 0].add(1)
+    ok, fails = verify_dhyperplonk_wire_a(
+        pp, d_srs, (bad_wp, wc, wo), g["eq_r2"], pk.challenge_r2,
+        pairings=False,
+    )
+    assert not ok and any("zerocheck[1]" in f for f in fails)
+
 
 def test_dhyperplonk_comm_totals_pinned():
     """Exact per-party byte totals (VERDICT item 8): the analytic
