@@ -332,3 +332,32 @@ def test_full_proof_verifier():
     bad_wc[2], bad_wc[3] = bad_wc[3], bad_wc[2]
     ok, fails = verify_local_hyperplonk(n, srs, ((gp, gc), (wp, bad_wc, wo)), ins)
     assert not ok and any("open[h]" in f or "open[num]" in f for f in fails)
+
+
+def test_dpermcheck_wire_verifies():
+    """dpermcheck shares the wire-identity section; with consistent
+    shares and an honest d-SRS its part-a openings and zerocheck
+    transcripts verify through the same library verifier."""
+    from scalable_collaborative_zksnark_tpu.hyperplonk.params import (
+        consistent_proving_parameters,
+    )
+    from scalable_collaborative_zksnark_tpu.hyperplonk.verify import (
+        verify_dhyperplonk_wire_a,
+    )
+    from scalable_collaborative_zksnark_tpu.primitives.poly_comm import srs_packed
+    from scalable_collaborative_zksnark_tpu.pss.pss import PackedSharingParams
+
+    n, l = 4, 1
+    N = 8 * l
+    net = PartyNet(N, mode="sim")
+    pp = PackedSharingParams(F, l)
+    d_srs = honest_srs(n + 2, n_parties=N, seed=41)
+    c_srs = srs_packed(honest_srs(n + 2, seed=43), pp)
+    pk, g = consistent_proving_parameters(
+        n, l, net, srs={"c": c_srs, "d": d_srs}, curve=CURVE
+    )
+    wire = dpermcheck(n, pk, net, c=C)
+    ok, fails = verify_dhyperplonk_wire_a(
+        pp, d_srs, wire, g["eq_r2"], pk.challenge_r2
+    )
+    assert ok, fails
