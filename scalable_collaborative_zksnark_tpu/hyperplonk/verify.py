@@ -260,9 +260,10 @@ def verify_dhyperplonk_wire_a(
     of the 5-poly group (ssigma, sid, h, num, den at r2) pairing-verify;
     and the three direct-zerocheck transcripts bind to the opened
     h/num/den values and the public eq(r2, x) evaluation.  The layered
-    zerocheck (wire part b) folds per-layer slices whose challenge
-    prefixes are protocol-internal; its transcripts are covered by the
-    sharded-equality and count tests instead.
+    zerocheck (wire part b) and the leader tree top (part c) are covered
+    by :func:`verify_dhyperplonk_wire_layers` and
+    :func:`verify_dhyperplonk_wire_top`; :func:`verify_dhyperplonk_wire`
+    composes all three.
     """
     F = d_srs.curve.fr
     proofs, commits, opens = wire
@@ -313,3 +314,124 @@ def verify_dhyperplonk_wire_a(
         )
 
     return not failures, failures
+
+
+def verify_dhyperplonk_wire_layers(
+    pp,
+    wire,
+    eq_r2: jnp.ndarray,
+    challenge_r2: jnp.ndarray,
+) -> Tuple[bool, List[str]]:
+    """Verify the LAYERED zerocheck (wire part b, dhyperplonk.rs:415-478).
+
+    Layer i (i = 1 .. n - log2(N)) runs three d_sumcheck_products on the
+    halving tree slices — (eq_i, v1x_i), (eq_i, vx0_i), (vx0_i, vx1_i) —
+    over challenge_r2[i:], and d_opens the three v-slices at the same
+    point.  The tree slices are witness-derived and uncommitted (the
+    reference opens them with no commitment either), so the check is
+    ALGEBRAIC binding: each transcript must be round-consistent (in the
+    _dsum_ch order, collaborative.py) and its final value must equal the
+    product of the two constituent evaluations — the v-values taken from
+    the layer's own d_opens, the eq value recomputed by the verifier
+    from the public eq_r2 table by replaying the prover's slicing.
+    """
+    F = pp.field
+    proofs, _commits, opens = wire
+    failures: List[str] = []
+    p = F.p
+    N = pp.n
+    s = N.bit_length() - 1
+    layers = (len(proofs) - 7) // 3
+    M = eq_r2.shape[-2] // N  # per-party block of the plain slices
+    cur_eq = eq_r2.reshape(N, M, F.L)[:, : M // 2]
+    for i in range(1, layers + 1):
+        ch = challenge_r2[i:]
+        ch_ints = [int(x) for x in F.array_to_ints(ch)]
+        chd = ch_ints[s:] + ch_ints[:s]
+        vals = []
+        for b in range(3):  # d_open order: v1x, vx0, vx1
+            dval, _dpis = opens[8 + 3 * (i - 1) + b]
+            vals.append(
+                int(F.array_to_ints(dval[None] if dval.ndim == 1 else dval)[0])
+            )
+        eqv = eval_mle_ints(F, cur_eq.reshape(-1, F.L), ch)
+        expect = [eqv * vals[0] % p, eqv * vals[1] % p, vals[1] * vals[2] % p]
+        for b, exp in enumerate(expect):
+            _check_product_transcript(
+                F, proofs[4 + 3 * (i - 1) + b], chd, exp, failures,
+                f"layer[{i}][{b}]", has_final_row=False,
+            )
+        cur_eq = cur_eq[:, cur_eq.shape[1] // 2 :]
+    return not failures, failures
+
+
+def verify_dhyperplonk_wire_top(
+    pp,
+    d_srs: PolynomialCommitment,
+    wire,
+    eq_top: jnp.ndarray,
+    challenge_r2: jnp.ndarray,
+    pairings: bool = True,
+) -> Tuple[bool, List[str]]:
+    """Verify the leader tree-top section (wire part c, rs:480-511).
+
+    The leader commits the three N-element tree-top slices (lt3 order:
+    vx0, vx1, v1x), opens them at challenge_r2[:log2(N)], and runs three
+    monolithic sumcheck_products against the public eq_top table.  All
+    three openings pairing-verify against their commitments (an s-var
+    poly under the full SRS uses level s = the TRAILING-variable tensor,
+    so g2_offset = n_srs - s), and each transcript's final value binds
+    to eq_top(ch_top) times the opened slice value.
+    """
+    F = d_srs.curve.fr
+    proofs, commits, opens = wire
+    failures: List[str] = []
+    p = F.p
+    s = pp.n.bit_length() - 1
+    ch_top = challenge_r2[:s]
+    ch_ints = [int(x) for x in F.array_to_ints(ch_top)]
+    nvars = len(d_srs.powers_of_g2) - 1
+    vals = {}
+    for b, name in enumerate(("vx0", "vx1", "v1x")):
+        dval, dpis = opens[-3 + b]
+        val = int(F.array_to_ints(dval[None] if dval.ndim == 1 else dval)[0])
+        com = commits[-3 + b]
+        if pairings and not d_srs.verify(
+            com, val, dpis, ch_ints, g2_offset=nvars - s
+        ):
+            failures.append(f"top open[{name}]: pairing check")
+        vals[name] = val
+    eqtv = eval_mle_ints(F, eq_top, ch_top)
+    expect = [
+        eqtv * vals["v1x"] % p,
+        eqtv * vals["vx0"] % p,
+        vals["vx0"] * vals["vx1"] % p,
+    ]
+    for b, exp in enumerate(expect):
+        _check_product_transcript(
+            F, proofs[-3 + b], ch_ints, exp, failures, f"top[{b}]"
+        )
+    return not failures, failures
+
+
+def verify_dhyperplonk_wire(
+    pp,
+    d_srs: PolynomialCommitment,
+    wire,
+    eq_r2: jnp.ndarray,
+    eq_top: jnp.ndarray,
+    challenge_r2: jnp.ndarray,
+    pairings: bool = True,
+) -> Tuple[bool, List[str]]:
+    """Verify the COMPLETE wire-identity section: part a (s/V/5-group
+    openings + direct zerocheck), part b (layered zerocheck), and part c
+    (leader tree top)."""
+    _, fa = verify_dhyperplonk_wire_a(
+        pp, d_srs, wire, eq_r2, challenge_r2, pairings=pairings
+    )
+    _, fb = verify_dhyperplonk_wire_layers(pp, wire, eq_r2, challenge_r2)
+    _, fc = verify_dhyperplonk_wire_top(
+        pp, d_srs, wire, eq_top, challenge_r2, pairings=pairings
+    )
+    fails = fa + fb + fc
+    return not fails, fails

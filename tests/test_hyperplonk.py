@@ -247,14 +247,18 @@ def test_dhyperplonk_transcripts_and_openings_verify():
     )
     assert not ok and any("gate[1]" in f for f in fails)
 
-    # 5. wire part-a: s + 5-group openings pair against their commits,
-    # direct-zerocheck transcripts bind to the opened h/num/den values
+    # 5. the full wire section verifies: part a (s + 5-group openings,
+    # direct zerocheck), part b (layered zerocheck binds to the per-layer
+    # d_opens and the replayed eq slices), part c (tree-top openings pair
+    # against their commitments and transcripts bind to eq_top)
     from scalable_collaborative_zksnark_tpu.hyperplonk.verify import (
+        verify_dhyperplonk_wire,
         verify_dhyperplonk_wire_a,
     )
 
-    ok, fails = verify_dhyperplonk_wire_a(
-        pp, d_srs, _wire, g["eq_r2"], pk.challenge_r2
+    eq_top = F.random((N,), 2 * 31 + 3)  # dhyperplonk's seed-derived table
+    ok, fails = verify_dhyperplonk_wire(
+        pp, d_srs, _wire, g["eq_r2"], eq_top, pk.challenge_r2
     )
     assert ok, fails
     wp, wc, wo = _wire
@@ -336,18 +340,21 @@ def test_full_proof_verifier():
 
 def test_dpermcheck_wire_verifies():
     """dpermcheck shares the wire-identity section; with consistent
-    shares and an honest d-SRS its part-a openings and zerocheck
-    transcripts verify through the same library verifier."""
+    shares and an honest d-SRS the COMPLETE wire bundle verifies —
+    part a, a two-layer layered zerocheck (n - log2(N) = 2), and the
+    tree top — and targeted corruptions in each section are caught."""
     from scalable_collaborative_zksnark_tpu.hyperplonk.params import (
         consistent_proving_parameters,
     )
     from scalable_collaborative_zksnark_tpu.hyperplonk.verify import (
-        verify_dhyperplonk_wire_a,
+        verify_dhyperplonk_wire,
+        verify_dhyperplonk_wire_layers,
+        verify_dhyperplonk_wire_top,
     )
     from scalable_collaborative_zksnark_tpu.primitives.poly_comm import srs_packed
     from scalable_collaborative_zksnark_tpu.pss.pss import PackedSharingParams
 
-    n, l = 4, 1
+    n, l = 5, 1
     N = 8 * l
     net = PartyNet(N, mode="sim")
     pp = PackedSharingParams(F, l)
@@ -357,7 +364,34 @@ def test_dpermcheck_wire_verifies():
         n, l, net, srs={"c": c_srs, "d": d_srs}, curve=CURVE
     )
     wire = dpermcheck(n, pk, net, c=C)
-    ok, fails = verify_dhyperplonk_wire_a(
-        pp, d_srs, wire, g["eq_r2"], pk.challenge_r2
+    eq_top = F.random((N,), 3 * 41 + 3)  # dpermcheck's seed-derived table
+    ok, fails = verify_dhyperplonk_wire(
+        pp, d_srs, wire, g["eq_r2"], eq_top, pk.challenge_r2
     )
     assert ok, fails
+
+    wp, wc, wo = wire
+    # corrupt a second-layer transcript message -> that layer flags
+    bad_wp = list(wp)
+    bad_wp[7] = bad_wp[7].at[0, 1, 0].add(1)
+    ok, fails = verify_dhyperplonk_wire_layers(
+        pp, (bad_wp, wc, wo), g["eq_r2"], pk.challenge_r2
+    )
+    assert not ok and all("layer[2]" in f for f in fails), fails
+    # corrupt a layer d_open value -> the binding breaks
+    bad_wo = list(wo)
+    dval, dpis = bad_wo[9]  # layer 1 vx0
+    bad_wo[9] = (F.add(dval, F.const(1)), dpis)
+    ok, fails = verify_dhyperplonk_wire_layers(
+        pp, (wp, wc, bad_wo), g["eq_r2"], pk.challenge_r2
+    )
+    assert not ok and any("layer[1]" in f for f in fails), fails
+    # corrupt a tree-top opened value -> pairing + binding break
+    bad_wo = list(wo)
+    dval, dpis = bad_wo[-3]
+    bad_wo[-3] = (F.add(dval, F.const(1)), dpis)
+    ok, fails = verify_dhyperplonk_wire_top(
+        pp, d_srs, (wp, wc, bad_wo), eq_top, pk.challenge_r2
+    )
+    assert not ok and any("top open[vx0]: pairing" in f for f in fails), fails
+    assert any("top[1]" in f for f in fails), fails
