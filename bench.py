@@ -48,6 +48,7 @@ def main() -> None:
                     help="capture a jax.profiler trace of the warm runs into DIR")
     args = ap.parse_args()
 
+    cpu_fallback = False
     if args.smoke:
         import os
 
@@ -56,6 +57,17 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
         args.n, args.l = 4, 1
+    else:
+        # If the axon relay is dead, the first backend touch hangs until
+        # the harness timeout with NO metric line — probe first and fall
+        # back to a CPU smoke config that still reports (honestly tagged).
+        from scalable_collaborative_zksnark_tpu.utils.benchlib import (
+            ensure_accelerator,
+        )
+
+        if not ensure_accelerator():
+            cpu_fallback = True
+            args.n, args.l = min(args.n, 6), 1
     import os
 
     import jax
@@ -144,10 +156,11 @@ def main() -> None:
     # Reference per-party estimate: 93.218 s / N at its (unrecorded) trace
     # size; the BASELINE.json flagship config is l=8, N=64 (BASELINE.md).
     baseline_per_party = 93.218 / 64.0
+    tag = "_cpu_fallback" if cpu_fallback else ""
     print(
         json.dumps(
             {
-                "metric": f"dhyperplonk_per_party_prove_s_n{n}_l{l}",
+                "metric": f"dhyperplonk_per_party_prove_s_n{n}_l{l}{tag}",
                 "value": round(best, 4),
                 "unit": "s",
                 "vs_baseline": round(baseline_per_party / best, 4),
