@@ -414,6 +414,35 @@ def verify_dhyperplonk_wire_top(
     return not failures, failures
 
 
+def verify_dhyperplonk(
+    pp,
+    c_srs_plain: PolynomialCommitment,
+    d_srs: PolynomialCommitment,
+    proof,
+    g: dict,
+    challenge: jnp.ndarray,
+    challenge_r2: jnp.ndarray,
+    eq_top: jnp.ndarray,
+    pairings: bool = True,
+) -> Tuple[bool, List[str]]:
+    """Verify a COMPLETE ``dhyperplonk`` proof bundle: the gate section
+    (six transcripts + the a/b/c c_opens and I/S1/S2 d_opens, which are
+    the protocol's final "Open" step) and the full wire section (parts
+    a, b, c).  ``proof`` is dhyperplonk's return value; ``g`` the
+    globals dict from ``consistent_proving_parameters`` (the verifier's
+    public data: eq tables); ``eq_top`` the protocol's seed-derived
+    tree-top eq table."""
+    gate, wire = proof
+    _, fg = verify_dhyperplonk_gate(
+        pp, c_srs_plain, d_srs, gate, g["eq"], challenge, pairings=pairings
+    )
+    _, fw = verify_dhyperplonk_wire(
+        pp, d_srs, wire, g["eq_r2"], eq_top, challenge_r2, pairings=pairings
+    )
+    fails = fg + fw
+    return not fails, fails
+
+
 def verify_dhyperplonk_wire(
     pp,
     d_srs: PolynomialCommitment,

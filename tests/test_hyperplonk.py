@@ -230,13 +230,18 @@ def test_dhyperplonk_transcripts_and_openings_verify():
     dvi = int(F.array_to_ints(dval[None])[0])
     assert d_srs.verify(dcom, dvi, dpis, ch_ints, g2_offset=2)
 
-    # 4. the library assembler/verifier covers all 6 transcripts + opens
+    # 4. the composed library verifier covers the COMPLETE bundle: all 6
+    # gate transcripts + final opens, wire parts a (s/V/5-group openings,
+    # direct zerocheck), b (layered zerocheck), and c (tree top)
     from scalable_collaborative_zksnark_tpu.hyperplonk.verify import (
+        verify_dhyperplonk,
         verify_dhyperplonk_gate,
     )
 
-    ok, fails = verify_dhyperplonk_gate(
-        pp, c_plain, d_srs, (gate_proofs, gate_coms), g["eq"], pk.challenge
+    eq_top = F.random((N,), 2 * 31 + 3)  # dhyperplonk's seed-derived table
+    ok, fails = verify_dhyperplonk(
+        pp, c_plain, d_srs, ((gate_proofs, gate_coms), _wire), g,
+        pk.challenge, pk.challenge_r2, eq_top,
     )
     assert ok, fails
     bad = [m for m in gate_proofs]
@@ -247,20 +252,11 @@ def test_dhyperplonk_transcripts_and_openings_verify():
     )
     assert not ok and any("gate[1]" in f for f in fails)
 
-    # 5. the full wire section verifies: part a (s + 5-group openings,
-    # direct zerocheck), part b (layered zerocheck binds to the per-layer
-    # d_opens and the replayed eq slices), part c (tree-top openings pair
-    # against their commitments and transcripts bind to eq_top)
+    # 5. targeted wire corruption is caught by the part-a verifier
     from scalable_collaborative_zksnark_tpu.hyperplonk.verify import (
-        verify_dhyperplonk_wire,
         verify_dhyperplonk_wire_a,
     )
 
-    eq_top = F.random((N,), 2 * 31 + 3)  # dhyperplonk's seed-derived table
-    ok, fails = verify_dhyperplonk_wire(
-        pp, d_srs, _wire, g["eq_r2"], eq_top, pk.challenge_r2
-    )
-    assert ok, fails
     wp, wc, wo = _wire
     bad_wp = list(wp)
     bad_wp[2] = bad_wp[2].at[0, 1, 0].add(1)
