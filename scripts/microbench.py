@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--skip", nargs="*", default=[], choices=["mul", "msm", "sc"])
     args = ap.parse_args()
 
+    from scalable_collaborative_zksnark_tpu.utils.benchlib import ensure_accelerator
+
+    ensure_accelerator()  # dead axon relay -> CPU, not a silent hang
+
     import jax
     import jax.numpy as jnp
 

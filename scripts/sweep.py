@@ -102,6 +102,12 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from scalable_collaborative_zksnark_tpu.utils.benchlib import (
+            ensure_accelerator,
+        )
+
+        ensure_accelerator()  # dead axon relay -> CPU, not a silent hang
     from scalable_collaborative_zksnark_tpu.utils.benchlib import (
         enable_compile_cache,
     )
