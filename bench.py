@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=16, help="log2 gate count")
     ap.add_argument("--l", type=int, default=8, help="packing factor (N = 8l)")
     ap.add_argument("--smoke", action="store_true", help="tiny CPU sanity run")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the FULL config on the CPU backend (native FFI "
+                         "field/curve kernels) — the reference baseline is "
+                         "itself a single-thread CPU number, so this is an "
+                         "apples-to-apples comparison when no TPU is reachable")
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--mode", choices=("phased", "full", "eager"),
                     default="phased",
@@ -57,6 +62,10 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
         args.n, args.l = 4, 1
+    elif args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     else:
         # If the axon relay is dead, the first backend touch hangs until
         # the harness timeout with NO metric line — probe first and fall
@@ -156,7 +165,7 @@ def main() -> None:
     # Reference per-party estimate: 93.218 s / N at its (unrecorded) trace
     # size; the BASELINE.json flagship config is l=8, N=64 (BASELINE.md).
     baseline_per_party = 93.218 / 64.0
-    tag = "_cpu_fallback" if cpu_fallback else ""
+    tag = "_cpu_fallback" if cpu_fallback else ("_cpu" if args.cpu else "")
     print(
         json.dumps(
             {
