@@ -398,9 +398,12 @@ def srs_random(curve: Curve, n: int, seed: int, n_parties: int = 1,
             jax.tree.map(lambda a: a[None, :, :], A),
             jax.tree.map(lambda a: a[:, None, :], B),
         )  # [rows, side]
-        return jax.tree.map(
-            lambda a: a.reshape(rows * side, -1)[:count], grid
-        )
+        flat = jax.tree.map(lambda a: a.reshape(rows * side, -1)[:count], grid)
+        # normalize HERE — one batch inversion over the flat points; the
+        # old path normalized after the per-party broadcast, paying the
+        # inversion n_parties times over identical rows (61 s of the 77 s
+        # flagship setup at n=16, l=8)
+        return curve.normalize(flat)
 
     def rand_levels(sizes, sd):
         """Random points for all levels from one flat generation, sliced."""
@@ -415,7 +418,9 @@ def srs_random(curve: Curve, n: int, seed: int, n_parties: int = 1,
     top = n if max_level is None else min(max_level, n)
     powers = rand_levels([1 << k for k in range(top + 1)], seed)
     g2s = [hc.G2_GEN] + [hc.g2_mul(hc.G2_GEN, seed * 7919 + i + 1) for i in range(n)]
-    out = PolynomialCommitment(curve, powers, g2s)
+    # rand_points_flat returns batch-normalized points, so every stored
+    # level is affine already — no trailing .normalized() pass needed
+    out = PolynomialCommitment(curve, powers, g2s, affine=True)
     if n_parties > 1:
         sbits = n_parties.bit_length() - 1
         out.party_weights = np.asarray([1] * n_parties, dtype=object)
@@ -431,7 +436,7 @@ def srs_random(curve: Curve, n: int, seed: int, n_parties: int = 1,
             )
             for lv in flat_levels
         ]
-    return out.normalized()
+    return out
 
 
 # ---------------------------------------------------------------------------
