@@ -12,6 +12,15 @@
 // standard CIOS — see e.g. dist-primitive/Cargo.toml:18-24 for the
 // reference's use of ark-ff.)
 //
+// Performance structure: every field helper is templated on the word
+// count NW (NW = 0 keeps the runtime-width generic body).  The moduli
+// in use are 4 words (Fr, 255 bits) and 6 words (Fq, 381 bits); fixed
+// widths let the compiler fully unroll the CIOS and carry chains —
+// ~2x over the runtime-width loops.  Point adds additionally take the
+// MIXED (Z2 == 1) fast path per operand: SRS bases are pre-normalized
+// to affine, so the Pippenger bucket pass runs 8M+3S madd instead of
+// 11M+5S full Jacobian adds.
+//
 // Data layout across the boundary: uint32 arrays [..., L] of 16-bit
 // limbs, little-endian, Montgomery form with R = 2^(16 L) — identical
 // to the device layout, repacked to 64-bit words (L = 4 nw) in-kernel.
@@ -45,43 +54,49 @@ struct FieldP {
 
 FieldP g_fields[MAX_FIELDS];
 
-inline bool geq_p(const FieldP &f, const u64 *a) {
-  for (int i = f.nw - 1; i >= 0; i--) {
+// NW = 0 -> runtime width from the field params; NW > 0 -> compile-time
+// constant (loops unroll, carries stay in registers).
+template <int NW> inline int fw(const FieldP &f) { return NW ? NW : f.nw; }
+
+template <int NW> inline bool geq_p_t(const FieldP &f, const u64 *a) {
+  for (int i = fw<NW>(f) - 1; i >= 0; i--) {
     if (a[i] > f.p[i]) return true;
     if (a[i] < f.p[i]) return false;
   }
   return true;
 }
 
-inline void sub_p(const FieldP &f, u64 *a) {
+template <int NW> inline void sub_p_t(const FieldP &f, u64 *a) {
   u128 borrow = 0;
-  for (int i = 0; i < f.nw; i++) {
+  for (int i = 0; i < fw<NW>(f); i++) {
     u128 d = (u128)a[i] - f.p[i] - borrow;
     a[i] = (u64)d;
     borrow = (d >> 64) & 1;
   }
 }
 
-inline void add_mod(const FieldP &f, const u64 *a, const u64 *b, u64 *r) {
+template <int NW>
+inline void add_mod_t(const FieldP &f, const u64 *a, const u64 *b, u64 *r) {
   u128 carry = 0;
-  for (int i = 0; i < f.nw; i++) {
+  for (int i = 0; i < fw<NW>(f); i++) {
     u128 s = (u128)a[i] + b[i] + carry;
     r[i] = (u64)s;
     carry = s >> 64;
   }
-  if (carry || geq_p(f, r)) sub_p(f, r);
+  if (carry || geq_p_t<NW>(f, r)) sub_p_t<NW>(f, r);
 }
 
-inline void sub_mod(const FieldP &f, const u64 *a, const u64 *b, u64 *r) {
+template <int NW>
+inline void sub_mod_t(const FieldP &f, const u64 *a, const u64 *b, u64 *r) {
   u128 borrow = 0;
-  for (int i = 0; i < f.nw; i++) {
+  for (int i = 0; i < fw<NW>(f); i++) {
     u128 d = (u128)a[i] - b[i] - borrow;
     r[i] = (u64)d;
     borrow = (d >> 64) & 1;
   }
   if (borrow) {
     u128 carry = 0;
-    for (int i = 0; i < f.nw; i++) {
+    for (int i = 0; i < fw<NW>(f); i++) {
       u128 s = (u128)r[i] + f.p[i] + carry;
       r[i] = (u64)s;
       carry = s >> 64;
@@ -91,8 +106,9 @@ inline void sub_mod(const FieldP &f, const u64 *a, const u64 *b, u64 *r) {
 
 // Montgomery CIOS multiply (same schedule as bls12_381.cc:fq_mul,
 // generalized over the word count).
-inline void mont_mul(const FieldP &f, const u64 *a, const u64 *b, u64 *out) {
-  const int nw = f.nw;
+template <int NW>
+inline void mont_mul_t(const FieldP &f, const u64 *a, const u64 *b, u64 *out) {
+  const int nw = fw<NW>(f);
   u64 t[MAXW + 2] = {0};
   for (int i = 0; i < nw; i++) {
     u128 carry = 0;
@@ -117,7 +133,20 @@ inline void mont_mul(const FieldP &f, const u64 *a, const u64 *b, u64 *out) {
     t[nw + 1] = 0;
   }
   std::memcpy(out, t, nw * sizeof(u64));
-  if (t[nw] || geq_p(f, out)) sub_p(f, out);
+  if (t[nw] || geq_p_t<NW>(f, out)) sub_p_t<NW>(f, out);
+}
+
+// Runtime-width entry points (init code, pow, element loops pick their
+// own width template at the call boundary).
+inline void add_mod(const FieldP &f, const u64 *a, const u64 *b, u64 *r) {
+  add_mod_t<0>(f, a, b, r);
+}
+inline void mont_mul(const FieldP &f, const u64 *a, const u64 *b, u64 *out) {
+  switch (f.nw) {
+    case 4: mont_mul_t<4>(f, a, b, out); return;
+    case 6: mont_mul_t<6>(f, a, b, out); return;
+    default: mont_mul_t<0>(f, a, b, out); return;
+  }
 }
 
 // Montgomery square-and-multiply: given a-hat = a R, returns a^e R.
@@ -156,8 +185,8 @@ inline void store_el(const u64 *w, int nw, uint32_t *limbs) {
 
 // ---------------------------------------------------------------------
 // Jacobian short-Weierstrass group law (a = 0), Montgomery coordinates.
-// Mirrors curves/g1.py (dbl-2009-l / add-2007-bl) with explicit branches
-// instead of branch-free selects; Z == 0 encodes infinity.
+// Mirrors curves/g1.py (dbl-2009-l / add-2007-bl / madd) with explicit
+// branches instead of branch-free selects; Z == 0 encodes infinity.
 // ---------------------------------------------------------------------
 struct JacP {
   u64 x[MAXW], y[MAXW], z[MAXW];
@@ -181,94 +210,153 @@ inline void jac_set_inf(const FieldP &f, JacP &r) {
   std::memcpy(r.y, f.one_m, sizeof(r.y));
 }
 
-inline void jac_double(const FieldP &f, const JacP &p, JacP &r) {
-  const int nw = f.nw;
+template <int NW>
+inline void jac_double_t(const FieldP &f, const JacP &p, JacP &r) {
+  const int nw = fw<NW>(f);
   if (words_zero(p.z, nw) || words_zero(p.y, nw)) {
     jac_set_inf(f, r);
     return;
   }
   u64 A[MAXW], B[MAXW], C[MAXW], D[MAXW], E[MAXW], G[MAXW], t[MAXW];
-  mont_mul(f, p.x, p.x, A);               // A = X^2
-  mont_mul(f, p.y, p.y, B);               // B = Y^2
-  mont_mul(f, B, B, C);                   // C = B^2
-  add_mod(f, p.x, B, t);
-  mont_mul(f, t, t, t);                   // (X+B)^2
-  sub_mod(f, t, A, t);
-  sub_mod(f, t, C, t);
-  add_mod(f, t, t, D);                    // D = 2((X+B)^2 - A - C)
-  add_mod(f, A, A, E);
-  add_mod(f, E, A, E);                    // E = 3A
-  mont_mul(f, E, E, G);                   // G = E^2
+  mont_mul_t<NW>(f, p.x, p.x, A);         // A = X^2
+  mont_mul_t<NW>(f, p.y, p.y, B);         // B = Y^2
+  mont_mul_t<NW>(f, B, B, C);             // C = B^2
+  add_mod_t<NW>(f, p.x, B, t);
+  mont_mul_t<NW>(f, t, t, t);             // (X+B)^2
+  sub_mod_t<NW>(f, t, A, t);
+  sub_mod_t<NW>(f, t, C, t);
+  add_mod_t<NW>(f, t, t, D);              // D = 2((X+B)^2 - A - C)
+  add_mod_t<NW>(f, A, A, E);
+  add_mod_t<NW>(f, E, A, E);              // E = 3A
+  mont_mul_t<NW>(f, E, E, G);             // G = E^2
   u64 X3[MAXW], Y3[MAXW], Z3[MAXW], C8[MAXW];
-  add_mod(f, D, D, t);
-  sub_mod(f, G, t, X3);                   // X3 = G - 2D
-  add_mod(f, C, C, C8);
-  add_mod(f, C8, C8, C8);
-  add_mod(f, C8, C8, C8);                 // 8C
-  sub_mod(f, D, X3, t);
-  mont_mul(f, E, t, t);
-  sub_mod(f, t, C8, Y3);                  // Y3 = E(D - X3) - 8C
-  mont_mul(f, p.y, p.z, t);
-  add_mod(f, t, t, Z3);                   // Z3 = 2YZ
+  add_mod_t<NW>(f, D, D, t);
+  sub_mod_t<NW>(f, G, t, X3);             // X3 = G - 2D
+  add_mod_t<NW>(f, C, C, C8);
+  add_mod_t<NW>(f, C8, C8, C8);
+  add_mod_t<NW>(f, C8, C8, C8);           // 8C
+  sub_mod_t<NW>(f, D, X3, t);
+  mont_mul_t<NW>(f, E, t, t);
+  sub_mod_t<NW>(f, t, C8, Y3);            // Y3 = E(D - X3) - 8C
+  mont_mul_t<NW>(f, p.y, p.z, t);
+  add_mod_t<NW>(f, t, t, Z3);             // Z3 = 2YZ
   std::memcpy(r.x, X3, nw * sizeof(u64));
   std::memcpy(r.y, Y3, nw * sizeof(u64));
   std::memcpy(r.z, Z3, nw * sizeof(u64));
 }
 
-inline void jac_add(const FieldP &f, const JacP &p1, const JacP &p2, JacP &r) {
-  const int nw = f.nw;
+template <int NW>
+inline void jac_add_t(const FieldP &f, const JacP &p1, const JacP &p2, JacP &r) {
+  const int nw = fw<NW>(f);
   if (words_zero(p1.z, nw)) { r = p2; return; }
   if (words_zero(p2.z, nw)) { r = p1; return; }
   u64 Z1Z1[MAXW], Z2Z2[MAXW], U1[MAXW], U2[MAXW], S1[MAXW], S2[MAXW];
-  mont_mul(f, p1.z, p1.z, Z1Z1);
-  mont_mul(f, p2.z, p2.z, Z2Z2);
-  mont_mul(f, p1.x, Z2Z2, U1);
-  mont_mul(f, p2.x, Z1Z1, U2);
+  mont_mul_t<NW>(f, p1.z, p1.z, Z1Z1);
+  mont_mul_t<NW>(f, p2.z, p2.z, Z2Z2);
+  mont_mul_t<NW>(f, p1.x, Z2Z2, U1);
+  mont_mul_t<NW>(f, p2.x, Z1Z1, U2);
   u64 t[MAXW];
-  mont_mul(f, p1.y, p2.z, t);
-  mont_mul(f, t, Z2Z2, S1);
-  mont_mul(f, p2.y, p1.z, t);
-  mont_mul(f, t, Z1Z1, S2);
+  mont_mul_t<NW>(f, p1.y, p2.z, t);
+  mont_mul_t<NW>(f, t, Z2Z2, S1);
+  mont_mul_t<NW>(f, p2.y, p1.z, t);
+  mont_mul_t<NW>(f, t, Z1Z1, S2);
   u64 H[MAXW], rr[MAXW];
-  sub_mod(f, U2, U1, H);
-  sub_mod(f, S2, S1, rr);
+  sub_mod_t<NW>(f, U2, U1, H);
+  sub_mod_t<NW>(f, S2, S1, rr);
   if (words_zero(H, nw)) {
-    if (words_zero(rr, nw)) { jac_double(f, p1, r); return; }
+    if (words_zero(rr, nw)) { jac_double_t<NW>(f, p1, r); return; }
     jac_set_inf(f, r);
     return;
   }
   u64 HH[MAXW], I[MAXW], J[MAXW], r2[MAXW], V[MAXW];
-  mont_mul(f, H, H, HH);
-  add_mod(f, HH, HH, I);
-  add_mod(f, I, I, I);                    // I = 4 HH
-  mont_mul(f, H, I, J);
-  add_mod(f, rr, rr, r2);
-  mont_mul(f, U1, I, V);
+  mont_mul_t<NW>(f, H, H, HH);
+  add_mod_t<NW>(f, HH, HH, I);
+  add_mod_t<NW>(f, I, I, I);              // I = 4 HH
+  mont_mul_t<NW>(f, H, I, J);
+  add_mod_t<NW>(f, rr, rr, r2);
+  mont_mul_t<NW>(f, U1, I, V);
   u64 X3[MAXW], Y3[MAXW], Z3[MAXW];
-  mont_mul(f, r2, r2, t);
-  sub_mod(f, t, J, t);
-  sub_mod(f, t, V, t);
-  sub_mod(f, t, V, X3);                   // X3 = r2^2 - J - 2V
-  sub_mod(f, V, X3, t);
-  mont_mul(f, r2, t, t);
+  mont_mul_t<NW>(f, r2, r2, t);
+  sub_mod_t<NW>(f, t, J, t);
+  sub_mod_t<NW>(f, t, V, t);
+  sub_mod_t<NW>(f, t, V, X3);             // X3 = r2^2 - J - 2V
+  sub_mod_t<NW>(f, V, X3, t);
+  mont_mul_t<NW>(f, r2, t, t);
   u64 sj[MAXW];
-  mont_mul(f, S1, J, sj);
-  add_mod(f, sj, sj, sj);
-  sub_mod(f, t, sj, Y3);                  // Y3 = r2(V - X3) - 2 S1 J
-  add_mod(f, p1.z, p2.z, t);
-  mont_mul(f, t, t, t);
-  sub_mod(f, t, Z1Z1, t);
-  sub_mod(f, t, Z2Z2, t);
-  mont_mul(f, H, t, Z3);                  // Z3 = ((Z1+Z2)^2 - Z1Z1 - Z2Z2) H
+  mont_mul_t<NW>(f, S1, J, sj);
+  add_mod_t<NW>(f, sj, sj, sj);
+  sub_mod_t<NW>(f, t, sj, Y3);            // Y3 = r2(V - X3) - 2 S1 J
+  add_mod_t<NW>(f, p1.z, p2.z, t);
+  mont_mul_t<NW>(f, t, t, t);
+  sub_mod_t<NW>(f, t, Z1Z1, t);
+  sub_mod_t<NW>(f, t, Z2Z2, t);
+  mont_mul_t<NW>(f, H, t, Z3);            // Z3 = ((Z1+Z2)^2 - Z1Z1 - Z2Z2) H
   std::memcpy(r.x, X3, nw * sizeof(u64));
   std::memcpy(r.y, Y3, nw * sizeof(u64));
   std::memcpy(r.z, Z3, nw * sizeof(u64));
 }
 
+// Mixed add (madd-2007-bl): p2 MUST be affine (Z2 == 1 Montgomery).
+// 8M + 3S vs the 11M + 5S general add — the Pippenger bucket pass runs
+// this against the pre-normalized SRS bases.
+template <int NW>
+inline void jac_add_mixed_t(const FieldP &f, const JacP &p1, const JacP &p2,
+                            JacP &r) {
+  const int nw = fw<NW>(f);
+  if (words_zero(p1.z, nw)) { r = p2; return; }
+  u64 Z1Z1[MAXW], U2[MAXW], S2[MAXW], t[MAXW];
+  mont_mul_t<NW>(f, p1.z, p1.z, Z1Z1);
+  mont_mul_t<NW>(f, p2.x, Z1Z1, U2);
+  mont_mul_t<NW>(f, p2.y, p1.z, t);
+  mont_mul_t<NW>(f, t, Z1Z1, S2);
+  u64 H[MAXW], rr[MAXW];
+  sub_mod_t<NW>(f, U2, p1.x, H);          // H = U2 - X1
+  sub_mod_t<NW>(f, S2, p1.y, rr);         // rr = S2 - Y1
+  if (words_zero(H, nw)) {
+    if (words_zero(rr, nw)) { jac_double_t<NW>(f, p1, r); return; }
+    jac_set_inf(f, r);
+    return;
+  }
+  u64 HH[MAXW], I[MAXW], J[MAXW], r2[MAXW], V[MAXW];
+  mont_mul_t<NW>(f, H, H, HH);
+  add_mod_t<NW>(f, HH, HH, I);
+  add_mod_t<NW>(f, I, I, I);              // I = 4 HH
+  mont_mul_t<NW>(f, H, I, J);
+  add_mod_t<NW>(f, rr, rr, r2);           // r2 = 2(S2 - Y1)
+  mont_mul_t<NW>(f, p1.x, I, V);          // V = X1 I
+  u64 X3[MAXW], Y3[MAXW], Z3[MAXW];
+  mont_mul_t<NW>(f, r2, r2, t);
+  sub_mod_t<NW>(f, t, J, t);
+  sub_mod_t<NW>(f, t, V, t);
+  sub_mod_t<NW>(f, t, V, X3);             // X3 = r2^2 - J - 2V
+  sub_mod_t<NW>(f, V, X3, t);
+  mont_mul_t<NW>(f, r2, t, t);
+  u64 sj[MAXW];
+  mont_mul_t<NW>(f, p1.y, J, sj);
+  add_mod_t<NW>(f, sj, sj, sj);
+  sub_mod_t<NW>(f, t, sj, Y3);            // Y3 = r2(V - X3) - 2 Y1 J
+  mont_mul_t<NW>(f, p1.z, H, t);
+  add_mod_t<NW>(f, t, t, Z3);             // Z3 = 2 Z1 H
+  std::memcpy(r.x, X3, nw * sizeof(u64));
+  std::memcpy(r.y, Y3, nw * sizeof(u64));
+  std::memcpy(r.z, Z3, nw * sizeof(u64));
+}
+
+// Add with automatic mixed fast path when the RHS is affine.
+template <int NW>
+inline void jac_add_auto_t(const FieldP &f, const JacP &p1, const JacP &p2,
+                           JacP &r) {
+  if (words_eq(p2.z, f.one_m, fw<NW>(f)))
+    jac_add_mixed_t<NW>(f, p1, p2, r);
+  else
+    jac_add_t<NW>(f, p1, p2, r);
+}
+
 // Pippenger MSM over one batch slot: out = sum_i s[i] * P[i].
-// Scalars as raw little-endian u64 words (standard form), window c = 8.
-inline void msm_one(const FieldP &f, const JacP *pts, const u64 *scal,
-                    int n, int nw_s, JacP &out) {
+// Scalars as raw little-endian u64 words (standard form).
+template <int NW>
+inline void msm_one_t(const FieldP &f, const JacP *pts, const u64 *scal,
+                      int n, int nw_s, JacP &out) {
   // adaptive window (must divide 64 so digits never straddle words)
   const int c = n >= 128 ? 8 : n >= 32 ? 4 : 2;
   const int nbuckets = (1 << c) - 1;
@@ -280,30 +368,31 @@ inline void msm_one(const FieldP &f, const JacP *pts, const u64 *scal,
     for (int i = 0; i < n; i++) {
       const u64 *s = scal + i * nw_s;
       int d = (int)((s[(w * c) / 64] >> ((w * c) % 64)) & (u64)nbuckets);
-      if (d) jac_add(f, buckets[d - 1], pts[i], buckets[d - 1]);
+      if (d) jac_add_auto_t<NW>(f, buckets[d - 1], pts[i], buckets[d - 1]);
     }
     if (w != windows - 1)
-      for (int b = 0; b < c; b++) jac_double(f, out, out);
+      for (int b = 0; b < c; b++) jac_double_t<NW>(f, out, out);
     JacP acc, sum;
     jac_set_inf(f, acc);
     jac_set_inf(f, sum);
     for (int k = nbuckets - 1; k >= 0; k--) {
-      jac_add(f, acc, buckets[k], acc);
-      jac_add(f, sum, acc, sum);
+      jac_add_t<NW>(f, acc, buckets[k], acc);
+      jac_add_t<NW>(f, sum, acc, sum);
     }
-    jac_add(f, out, sum, out);
+    jac_add_t<NW>(f, out, sum, out);
   }
 }
 
 // Per-element double-and-add (LSB-first) for batched scalar_mul.
-inline void smul_one(const FieldP &f, const JacP &p, const u64 *s, int nw_s,
-                     JacP &out) {
+template <int NW>
+inline void smul_one_t(const FieldP &f, const JacP &p, const u64 *s, int nw_s,
+                       JacP &out) {
   JacP acc, base = p;
   jac_set_inf(f, acc);
   for (int w = 0; w < nw_s; w++) {
     for (int b = 0; b < 64; b++) {
-      if ((s[w] >> b) & 1) jac_add(f, acc, base, acc);
-      jac_double(f, base, base);
+      if ((s[w] >> b) & 1) jac_add_auto_t<NW>(f, acc, base, acc);
+      jac_double_t<NW>(f, base, base);
     }
   }
   out = acc;
@@ -325,6 +414,24 @@ inline void store_jac(const JacP &p, size_t i, int L, int nw, uint32_t *x,
 
 enum class Op { kMul, kAdd, kSub, kInv };
 
+template <int NW>
+void binary_loop_t(Op op, const FieldP &f, const uint32_t *pa,
+                   const uint32_t *pb, uint32_t *po, size_t n) {
+  const int L = 4 * f.nw;
+  u64 wa[MAXW], wb[MAXW], wr[MAXW];
+  for (size_t i = 0; i < n; i++) {
+    load_el(pa + i * L, f.nw, wa);
+    load_el(pb + i * L, f.nw, wb);
+    switch (op) {
+      case Op::kMul: mont_mul_t<NW>(f, wa, wb, wr); break;
+      case Op::kAdd: add_mod_t<NW>(f, wa, wb, wr); break;
+      case Op::kSub: sub_mod_t<NW>(f, wa, wb, wr); break;
+      default: break;
+    }
+    store_el(wr, f.nw, po + i * L);
+  }
+}
+
 ffi::Error binary_op(Op op, int32_t fid, ffi::AnyBuffer a, ffi::AnyBuffer b,
                      ffi::Result<ffi::AnyBuffer> out) {
   if (fid < 0 || fid >= MAX_FIELDS || g_fields[fid].nw == 0)
@@ -335,17 +442,10 @@ ffi::Error binary_op(Op op, int32_t fid, ffi::AnyBuffer a, ffi::AnyBuffer b,
   const uint32_t *pa = reinterpret_cast<const uint32_t *>(a.untyped_data());
   const uint32_t *pb = reinterpret_cast<const uint32_t *>(b.untyped_data());
   uint32_t *po = reinterpret_cast<uint32_t *>(out->untyped_data());
-  u64 wa[MAXW], wb[MAXW], wr[MAXW];
-  for (size_t i = 0; i < n; i++) {
-    load_el(pa + i * L, f.nw, wa);
-    load_el(pb + i * L, f.nw, wb);
-    switch (op) {
-      case Op::kMul: mont_mul(f, wa, wb, wr); break;
-      case Op::kAdd: add_mod(f, wa, wb, wr); break;
-      case Op::kSub: sub_mod(f, wa, wb, wr); break;
-      default: return ffi::Error(ffi::ErrorCode::kInternal, "bad op");
-    }
-    store_el(wr, f.nw, po + i * L);
+  switch (f.nw) {
+    case 4: binary_loop_t<4>(op, f, pa, pb, po, n); break;
+    case 6: binary_loop_t<6>(op, f, pa, pb, po, n); break;
+    default: binary_loop_t<0>(op, f, pa, pb, po, n); break;
   }
   return ffi::Error::Success();
 }
@@ -389,6 +489,65 @@ ffi::Error InvImpl(int32_t fid, ffi::AnyBuffer a,
 //   1 scalar_mul: pts [B, L],       scal [B, Ls]         -> out [B, L]
 //   2 sum:        pts [B, n_in, L], scal ignored         -> out [B, L]
 //   3 linear_map: pts [B, n_in, L], scal [n_out,n_in,Ls] -> out [B, n_out, L]
+template <int NW>
+ffi::Error g1_loop_t(const FieldP &f, int32_t mode, int32_t n_in,
+                     int32_t n_out, size_t B, const uint32_t *px,
+                     const uint32_t *py, const uint32_t *pz,
+                     const uint32_t *ps, int Ls, int nw_s, uint32_t *rx,
+                     uint32_t *ry, uint32_t *rz) {
+  const int L = 4 * f.nw;
+  std::vector<JacP> pts(n_in);
+  std::vector<u64> sw;
+  if (mode == 3) {  // preload the shared scalar matrix
+    sw.resize((size_t)n_out * n_in * nw_s);
+    for (int o = 0; o < n_out; o++)
+      for (int i = 0; i < n_in; i++)
+        load_el(ps + ((size_t)o * n_in + i) * Ls, nw_s,
+                sw.data() + ((size_t)o * n_in + i) * nw_s);
+  }
+
+  std::vector<u64> sbatch((mode == 0) ? (size_t)n_in * nw_s
+                          : (mode == 1) ? (size_t)nw_s : 1);
+  for (size_t b = 0; b < B; b++) {
+    for (int i = 0; i < n_in; i++)
+      load_jac(px, py, pz, b * n_in + i, L, f.nw, pts[i]);
+    JacP out;
+    switch (mode) {
+      case 0: {
+        for (int i = 0; i < n_in; i++)
+          load_el(ps + (b * n_in + i) * (size_t)Ls, nw_s,
+                  sbatch.data() + (size_t)i * nw_s);
+        msm_one_t<NW>(f, pts.data(), sbatch.data(), n_in, nw_s, out);
+        store_jac(out, b, L, f.nw, rx, ry, rz);
+        break;
+      }
+      case 1: {
+        load_el(ps + b * (size_t)Ls, nw_s, sbatch.data());
+        smul_one_t<NW>(f, pts[0], sbatch.data(), nw_s, out);
+        store_jac(out, b, L, f.nw, rx, ry, rz);
+        break;
+      }
+      case 2: {
+        jac_set_inf(f, out);
+        for (int i = 0; i < n_in; i++) jac_add_auto_t<NW>(f, out, pts[i], out);
+        store_jac(out, b, L, f.nw, rx, ry, rz);
+        break;
+      }
+      case 3: {
+        for (int o = 0; o < n_out; o++) {
+          msm_one_t<NW>(f, pts.data(), sw.data() + (size_t)o * n_in * nw_s,
+                        n_in, nw_s, out);
+          store_jac(out, b * n_out + o, L, f.nw, rx, ry, rz);
+        }
+        break;
+      }
+      default:
+        return ffi::Error(ffi::ErrorCode::kInvalidArgument, "bad mode");
+    }
+  }
+  return ffi::Error::Success();
+}
+
 ffi::Error G1OpImpl(int32_t fid, int32_t mode, int32_t n_in, int32_t n_out,
                     ffi::AnyBuffer x, ffi::AnyBuffer y, ffi::AnyBuffer z,
                     ffi::AnyBuffer scal, ffi::Result<ffi::AnyBuffer> ox,
@@ -418,56 +577,17 @@ ffi::Error G1OpImpl(int32_t fid, int32_t mode, int32_t n_in, int32_t n_out,
       return ffi::Error(ffi::ErrorCode::kInvalidArgument, "bad scalar width");
   }
 
-  std::vector<JacP> pts(n_in);
-  std::vector<u64> sw;
-  if (mode == 3) {  // preload the shared scalar matrix
-    sw.resize((size_t)n_out * n_in * nw_s);
-    for (int o = 0; o < n_out; o++)
-      for (int i = 0; i < n_in; i++)
-        load_el(ps + ((size_t)o * n_in + i) * Ls, nw_s,
-                sw.data() + ((size_t)o * n_in + i) * nw_s);
+  switch (f.nw) {
+    case 4:
+      return g1_loop_t<4>(f, mode, n_in, n_out, B, px, py, pz, ps, Ls, nw_s,
+                          rx, ry, rz);
+    case 6:
+      return g1_loop_t<6>(f, mode, n_in, n_out, B, px, py, pz, ps, Ls, nw_s,
+                          rx, ry, rz);
+    default:
+      return g1_loop_t<0>(f, mode, n_in, n_out, B, px, py, pz, ps, Ls, nw_s,
+                          rx, ry, rz);
   }
-
-  std::vector<u64> sbatch((mode == 0) ? (size_t)n_in * nw_s
-                          : (mode == 1) ? (size_t)nw_s : 1);
-  for (size_t b = 0; b < B; b++) {
-    for (int i = 0; i < n_in; i++)
-      load_jac(px, py, pz, b * n_in + i, L, f.nw, pts[i]);
-    JacP out;
-    switch (mode) {
-      case 0: {
-        for (int i = 0; i < n_in; i++)
-          load_el(ps + (b * n_in + i) * (size_t)Ls, nw_s,
-                  sbatch.data() + (size_t)i * nw_s);
-        msm_one(f, pts.data(), sbatch.data(), n_in, nw_s, out);
-        store_jac(out, b, L, f.nw, rx, ry, rz);
-        break;
-      }
-      case 1: {
-        load_el(ps + b * (size_t)Ls, nw_s, sbatch.data());
-        smul_one(f, pts[0], sbatch.data(), nw_s, out);
-        store_jac(out, b, L, f.nw, rx, ry, rz);
-        break;
-      }
-      case 2: {
-        jac_set_inf(f, out);
-        for (int i = 0; i < n_in; i++) jac_add(f, out, pts[i], out);
-        store_jac(out, b, L, f.nw, rx, ry, rz);
-        break;
-      }
-      case 3: {
-        for (int o = 0; o < n_out; o++) {
-          msm_one(f, pts.data(), sw.data() + (size_t)o * n_in * nw_s, n_in,
-                  nw_s, out);
-          store_jac(out, b * n_out + o, L, f.nw, rx, ry, rz);
-        }
-        break;
-      }
-      default:
-        return ffi::Error(ffi::ErrorCode::kInvalidArgument, "bad mode");
-    }
-  }
-  return ffi::Error::Success();
 }
 
 }  // namespace

@@ -62,8 +62,10 @@ class PolynomialCommitment:
     # (weights all 1, one root-level list — values unverifiable anyway).
     party_weights: Optional[object] = None  # [N] object ints, or {m_total: [N]}
     root_levels: Optional[object] = None  # [PointJ...] or {m_total: [PointJ...]}
-    # collaborative extension: packed SRS share points per level
-    packed_powers: Optional[List[PointJ]] = None  # level k: [N, 2^k / l]
+    # collaborative extension: packed SRS share points per level —
+    # [N, 2^k/l] per-party shares (srs_packed) or flat [2^k/l]
+    # party-invariant benchmark points (srs_random)
+    packed_powers: Optional[List[PointJ]] = None
     # True once every stored level is batch-normalized to affine (z in
     # {0, 1}); lets each MSM skip its per-call batch inversion
     affine: bool = False
@@ -427,15 +429,13 @@ def srs_random(curve: Curve, n: int, seed: int, n_parties: int = 1,
         out.root_levels = rand_levels([1 << j for j in range(sbits)], seed + 101)
     if packed_parties:
         l = packed_parties // 8
-        flat_levels = rand_levels(
+        # stored FLAT (no party axis): the random benchmark levels are
+        # party-invariant, and the MSM layers broadcast bases over batch
+        # dims at trace time — materializing the [N, ...] broadcast here
+        # cost N× device memory and N× the normalize work
+        out.packed_powers = rand_levels(
             [max((1 << k) // l, 1) for k in range(n + 1)], seed + 211
         )
-        out.packed_powers = [
-            jax.tree.map(
-                lambda a: jnp.broadcast_to(a[None], (packed_parties,) + a.shape), lv
-            )
-            for lv in flat_levels
-        ]
     return out
 
 
@@ -473,7 +473,10 @@ def c_commit(srs: PolynomialCommitment, pp: PackedSharingParams, net: PartyNet,
     for pe in pevals:
         level = (pe.shape[-2] * pp.l).bit_length() - 1
         b = srs.packed_powers[level]
-        if net.mode == "leader":
+        # per-party levels (srs_packed, [N, M, L]) slice to the one
+        # materialized party in leader mode; flat party-invariant levels
+        # (srs_random, [M, L]) broadcast over the batch dims downstream
+        if b.x.ndim == 3 and net.mode == "leader":
             b = jax.tree.map(lambda a: a[:1], b)
         bases.append(b)
         scals.append(F.decode(pe))
@@ -512,7 +515,7 @@ def c_open(srs: PolynomialCommitment, pp: PackedSharingParams, net: PartyNet,
         q = F.sub(hi, lo)
         level = (q.shape[-2] * pp.l).bit_length() - 1
         b = srs.packed_powers[level]
-        if net.mode == "leader":
+        if b.x.ndim == 3 and net.mode == "leader":
             b = jax.tree.map(lambda a: a[:1], b)
         extra.append(msm(curve, b, F.decode(q), c=c, affine=srs.affine))  # [P]
         # NOTE: continuation challenges point[n_loc + i] (see sumcheck.py
