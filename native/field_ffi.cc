@@ -352,22 +352,45 @@ inline void jac_add_auto_t(const FieldP &f, const JacP &p1, const JacP &p2,
     jac_add_t<NW>(f, p1, p2, r);
 }
 
+// Window-w base-2^c digit of a scalar; digits may straddle word
+// boundaries (reads the next word when needed, guarded at the top end).
+inline int msm_digit(const u64 *s, int nw_s, int w, int c) {
+  const int bit = w * c;
+  const int word = bit / 64;
+  const int off = bit % 64;
+  u64 v = s[word] >> off;
+  if (off + c > 64 && word + 1 < nw_s) v |= s[word + 1] << (64 - off);
+  return (int)(v & ((1u << c) - 1));
+}
+
+constexpr int MSM_MAX_C = 12;
+
 // Pippenger MSM over one batch slot: out = sum_i s[i] * P[i].
 // Scalars as raw little-endian u64 words (standard form).
+// The window width minimizes the exact op-count model
+//   ceil(nbits/c) * (n data adds + 2 (2^c - 1) reduce adds + c doubles)
+// — a fixed width (the classic c = 8) pays 510 reduce adds per window
+// even on the tiny halving levels the PCS opening chains commit, where
+// the reduce then dwarfs the useful work.
 template <int NW>
 inline void msm_one_t(const FieldP &f, const JacP *pts, const u64 *scal,
                       int n, int nw_s, JacP &out) {
-  // adaptive window (must divide 64 so digits never straddle words)
-  const int c = n >= 128 ? 8 : n >= 32 ? 4 : 2;
+  const int nbits = nw_s * 64;
+  int c = 2;
+  double best = 1e300;
+  for (int cc = 2; cc <= MSM_MAX_C; cc++) {
+    const double W = (nbits + cc - 1) / cc;
+    const double cost = W * ((double)n + 2.0 * ((1 << cc) - 1) + cc);
+    if (cost < best) { best = cost; c = cc; }
+  }
   const int nbuckets = (1 << c) - 1;
-  const int windows = nw_s * 64 / c;
-  static thread_local JacP buckets[255];
+  const int windows = (nbits + c - 1) / c;
+  static thread_local JacP buckets[(1 << MSM_MAX_C) - 1];
   jac_set_inf(f, out);
   for (int w = windows - 1; w >= 0; w--) {
     for (int k = 0; k < nbuckets; k++) jac_set_inf(f, buckets[k]);
     for (int i = 0; i < n; i++) {
-      const u64 *s = scal + i * nw_s;
-      int d = (int)((s[(w * c) / 64] >> ((w * c) % 64)) & (u64)nbuckets);
+      int d = msm_digit(scal + i * nw_s, nw_s, w, c);
       if (d) jac_add_auto_t<NW>(f, buckets[d - 1], pts[i], buckets[d - 1]);
     }
     if (w != windows - 1)
