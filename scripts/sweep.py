@@ -114,11 +114,15 @@ def main():
 
     enable_compile_cache(Path(__file__).resolve().parent.parent / ".jax_cache")
 
+    import jax
+
+    backend = jax.default_backend()
     rows = []
     for l in args.l:
         for n in args.n:
             dt, up, down = run_one(args.suite, n, l, args.mode)
             row = {"suite": args.suite, "n": n, "l": l, "mode": args.mode,
+                   "backend": backend,
                    "seconds": round(dt, 6), "up_bytes": up, "down_bytes": down}
             rows.append(row)
             print(row)
