@@ -28,7 +28,11 @@
 // Field parameters are registered at load time via sczk_field_init
 // (moduli come from fields/config.py — single source of truth).
 
+#include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -53,6 +57,53 @@ struct FieldP {
 };
 
 FieldP g_fields[MAX_FIELDS];
+
+// ---------------------------------------------------------------------
+// Optional per-op profiling (SCZK_FFI_PROF=1): wall time + call + element
+// counts per op class, dumped to stderr at process exit.  The XLA:CPU
+// profiler shows custom calls only as anonymous `ffi_call.N` events; this
+// is the attribution layer under it.
+// ---------------------------------------------------------------------
+enum ProfOp { P_MUL, P_ADD, P_SUB, P_INV, P_MSM, P_SMUL, P_SUM, P_LMAP, P_N };
+const char *kProfNames[P_N] = {"fr.mul",  "fr.add", "fr.sub",    "fr.inv",
+                               "g1.msm",  "g1.smul", "g1.sum",   "g1.lmap"};
+struct ProfSlot {
+  std::atomic<uint64_t> ns{0}, calls{0}, elems{0};
+};
+ProfSlot g_prof[P_N];
+bool g_prof_on = [] { return std::getenv("SCZK_FFI_PROF") != nullptr; }();
+
+struct ProfDump {
+  ~ProfDump() {
+    if (!g_prof_on) return;
+    std::fprintf(stderr, "# SCZK_FFI_PROF (op: seconds / calls / elems)\n");
+    for (int i = 0; i < P_N; i++) {
+      uint64_t ns = g_prof[i].ns.load();
+      if (!ns) continue;
+      std::fprintf(stderr, "#   %-8s %9.3fs  calls=%-8llu elems=%llu\n",
+                   kProfNames[i], ns / 1e9,
+                   (unsigned long long)g_prof[i].calls.load(),
+                   (unsigned long long)g_prof[i].elems.load());
+    }
+  }
+} g_prof_dump;
+
+struct ProfScope {
+  ProfOp op;
+  uint64_t elems;
+  std::chrono::steady_clock::time_point t0;
+  ProfScope(ProfOp o, uint64_t e) : op(o), elems(e) {
+    if (g_prof_on) t0 = std::chrono::steady_clock::now();
+  }
+  ~ProfScope() {
+    if (!g_prof_on) return;
+    auto dt = std::chrono::steady_clock::now() - t0;
+    g_prof[op].ns.fetch_add(
+        std::chrono::duration_cast<std::chrono::nanoseconds>(dt).count());
+    g_prof[op].calls.fetch_add(1);
+    g_prof[op].elems.fetch_add(elems);
+  }
+};
 
 // NW = 0 -> runtime width from the field params; NW > 0 -> compile-time
 // constant (loops unroll, carries stay in registers).
@@ -462,6 +513,10 @@ ffi::Error binary_op(Op op, int32_t fid, ffi::AnyBuffer a, ffi::AnyBuffer b,
   const FieldP &f = g_fields[fid];
   const int L = 4 * f.nw;
   const size_t n = a.element_count() / L;
+  ProfScope prof(op == Op::kMul   ? P_MUL
+                 : op == Op::kAdd ? P_ADD
+                                  : P_SUB,
+                 n);
   const uint32_t *pa = reinterpret_cast<const uint32_t *>(a.untyped_data());
   const uint32_t *pb = reinterpret_cast<const uint32_t *>(b.untyped_data());
   uint32_t *po = reinterpret_cast<uint32_t *>(out->untyped_data());
@@ -488,21 +543,44 @@ ffi::Error SubImpl(int32_t fid, ffi::AnyBuffer a, ffi::AnyBuffer b,
   return binary_op(Op::kSub, fid, a, b, out);
 }
 
-// Batched Fermat inversion (Montgomery-in, Montgomery-out; 0 -> 0).
+// Batched inversion (Montgomery-in, Montgomery-out; 0 -> 0) via the
+// Montgomery batch trick: one Fermat pow for the running product plus
+// ~3 multiplies per element — ~100x over per-element Fermat at protocol
+// batch sizes.  Serial two-pass structure is exactly right for one core.
 ffi::Error InvImpl(int32_t fid, ffi::AnyBuffer a,
                    ffi::Result<ffi::AnyBuffer> out) {
   if (fid < 0 || fid >= MAX_FIELDS || g_fields[fid].nw == 0)
     return ffi::Error(ffi::ErrorCode::kInvalidArgument, "unknown field id");
   const FieldP &f = g_fields[fid];
-  const int L = 4 * f.nw;
+  const int nw = f.nw;
+  const int L = 4 * nw;
   const size_t n = a.element_count() / L;
+  ProfScope prof(P_INV, n);
   const uint32_t *pa = reinterpret_cast<const uint32_t *>(a.untyped_data());
   uint32_t *po = reinterpret_cast<uint32_t *>(out->untyped_data());
-  u64 wa[MAXW], wr[MAXW];
+  std::vector<u64> av((size_t)n * nw), pre((size_t)n * nw);
+  std::vector<unsigned char> nz(n);
+  u64 run[MAXW];
+  std::memcpy(run, f.one_m, sizeof(run));
   for (size_t i = 0; i < n; i++) {
-    load_el(pa + i * L, f.nw, wa);
-    mont_pow(f, wa, f.e, wr);  // a^(p-2); 0 stays 0
-    store_el(wr, f.nw, po + i * L);
+    u64 *wa = av.data() + i * nw;
+    load_el(pa + i * L, nw, wa);
+    nz[i] = !words_zero(wa, nw);
+    std::memcpy(pre.data() + i * nw, run, nw * sizeof(u64));
+    if (nz[i]) mont_mul(f, run, wa, run);
+  }
+  u64 rinv[MAXW];
+  mont_pow(f, run, f.e, rinv);  // (prod of non-zeros)^(p-2)
+  u64 wr[MAXW];
+  for (size_t i = n; i-- > 0;) {
+    const u64 *wa = av.data() + i * nw;
+    if (nz[i]) {
+      mont_mul(f, rinv, pre.data() + i * nw, wr);
+      mont_mul(f, rinv, wa, rinv);
+    } else {
+      std::memset(wr, 0, sizeof(wr));
+    }
+    store_el(wr, nw, po + i * L);
   }
   return ffi::Error::Success();
 }
@@ -588,6 +666,11 @@ ffi::Error G1OpImpl(int32_t fid, int32_t mode, int32_t n_in, int32_t n_out,
   uint32_t *rx = reinterpret_cast<uint32_t *>(ox->untyped_data());
   uint32_t *ry = reinterpret_cast<uint32_t *>(oy->untyped_data());
   uint32_t *rz = reinterpret_cast<uint32_t *>(oz->untyped_data());
+  ProfScope prof(mode == 0   ? P_MSM
+                 : mode == 1 ? P_SMUL
+                 : mode == 2 ? P_SUM
+                             : P_LMAP,
+                 B * (size_t)n_in * (mode == 3 ? (size_t)n_out : 1));
 
   int Ls = 0, nw_s = 0;
   if (mode == 0 || mode == 1)

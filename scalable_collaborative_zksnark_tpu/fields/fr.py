@@ -414,7 +414,13 @@ class Field:
         single Fermat inversion of the running product — ~6 multiplies per
         element instead of ~500 (this is the kernel behind the reference's
         ``h = num / den`` hot spot, dhyperplonk.rs:339).  Zero maps to zero.
+
+        On the CPU FFI path the native inv custom call IS a serial batch
+        inversion (~3 muls/element, field_ffi.cc InvImpl) — strictly
+        better than n·log n scan multiplies on one core.
         """
+        if self._ffi() is not None:
+            return self.inv(a)
         is_zero = self.is_zero(a)
         safe = jnp.where(is_zero[..., None], self.ones(a.shape[:-1]), a)
         ax = a.ndim - 2

@@ -575,6 +575,7 @@ def d_msm(
     w, q = _dmsm_reduce_vectors(pp)
     gt = jax.tree.map(lambda a: jnp.moveaxis(a, 0, -2), g)  # [B, N]
     t = curve.linear_map(w, gt)  # [B, 1]
-    out = curve.linear_map(q, t)  # [B, n]
-    out = jax.tree.map(lambda a: jnp.moveaxis(a, -2, 0), out)  # [n, B]
+    # repack only the rows the scatter keeps (leader mode: one party)
+    out = curve.linear_map(q[: net.local_parties], t)  # [B, P]
+    out = jax.tree.map(lambda a: jnp.moveaxis(a, -2, 0), out)  # [P, B]
     return net.scatter_from_root(out, "g1", count=B, vec=True)

@@ -455,8 +455,11 @@ def _d_msm_ragged(curve, pp, net, bases_list, scalars_list, c=8, affine=False):
     w, q = _dmsm_reduce_vectors(pp)
     gt = jax.tree.map(lambda a: jnp.moveaxis(a, 0, -2), gathered)  # [B, N]
     t = curve.linear_map(w, gt)  # [B, 1]
-    out = curve.linear_map(q, t)  # [B, n]
-    out = jax.tree.map(lambda a: jnp.moveaxis(a, -2, 0), out)  # [n, B]
+    # only materialized parties' repack rows are computed (leader mode
+    # keeps one); the scatter slices the same rows, so the dropped ones
+    # were pure waste — at N = 64 the repack was ~98% of the leader map
+    out = curve.linear_map(q[: net.local_parties], t)  # [B, P]
+    out = jax.tree.map(lambda a: jnp.moveaxis(a, -2, 0), out)  # [P, B]
     return net.scatter_from_root(out, "g1", count=B, vec=True)
 
 
