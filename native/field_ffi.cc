@@ -54,6 +54,7 @@ struct FieldP {
   u64 e[MAXW] = {0};     // p - 2 (Fermat exponent)
   u64 n0inv = 0;         // -p^{-1} mod 2^64
   u64 one_m[MAXW] = {0}; // R mod p (1 in Montgomery form)
+  u64 r3[MAXW] = {0};    // R^3 mod p (EGCD-inverse Montgomery fixup)
 };
 
 FieldP g_fields[MAX_FIELDS];
@@ -200,6 +201,93 @@ inline void mont_mul(const FieldP &f, const u64 *a, const u64 *b, u64 *out) {
   }
 }
 
+inline bool words_zero(const u64 *a, int nw) {
+  u64 o = 0;
+  for (int i = 0; i < nw; i++) o |= a[i];
+  return o == 0;
+}
+
+inline bool words_eq(const u64 *a, const u64 *b, int nw) {
+  u64 o = 0;
+  for (int i = 0; i < nw; i++) o |= a[i] ^ b[i];
+  return o == 0;
+}
+
+inline bool words_is_one(const u64 *a, int nw) {
+  if (a[0] != 1) return false;
+  for (int i = 1; i < nw; i++)
+    if (a[i]) return false;
+  return true;
+}
+
+inline bool words_geq(const u64 *a, const u64 *b, int nw) {
+  for (int i = nw - 1; i >= 0; i--) {
+    if (a[i] > b[i]) return true;
+    if (a[i] < b[i]) return false;
+  }
+  return true;
+}
+
+// Montgomery inversion via binary extended GCD: ~10x faster than the
+// Fermat pow (381 shift/sub halvings vs ~770 full Montgomery muls).
+// Requires p < 2^(64 nw - 1) (holds for Fr 255/256 and Fq 381/384) so
+// the conditional +p in the halving fits one carry bit.  0 -> 0.
+inline void mont_inv_one(const FieldP &f, const u64 *a_hat, u64 *out) {
+  const int nw = f.nw;
+  if (words_zero(a_hat, nw)) {
+    std::memset(out, 0, nw * sizeof(u64));
+    return;
+  }
+  u64 u[MAXW], v[MAXW], x1[MAXW] = {0}, x2[MAXW] = {0};
+  std::memcpy(u, a_hat, nw * sizeof(u64));
+  std::memcpy(v, f.p, nw * sizeof(u64));
+  x1[0] = 1;
+  auto half_mod = [&](u64 *x) {
+    u64 carry = 0;
+    if (x[0] & 1) {
+      u128 c = 0;
+      for (int i = 0; i < nw; i++) {
+        u128 s = (u128)x[i] + f.p[i] + c;
+        x[i] = (u64)s;
+        c = s >> 64;
+      }
+      carry = (u64)c;
+    }
+    for (int i = 0; i < nw - 1; i++) x[i] = (x[i] >> 1) | (x[i + 1] << 63);
+    x[nw - 1] = (x[nw - 1] >> 1) | (carry << 63);
+  };
+  auto sub_raw = [&](u64 *a, const u64 *b) {
+    u128 borrow = 0;
+    for (int i = 0; i < nw; i++) {
+      u128 d = (u128)a[i] - b[i] - borrow;
+      a[i] = (u64)d;
+      borrow = (d >> 64) & 1;
+    }
+  };
+  while (!words_is_one(u, nw) && !words_is_one(v, nw)) {
+    while (!(u[0] & 1)) {
+      for (int i = 0; i < nw - 1; i++) u[i] = (u[i] >> 1) | (u[i + 1] << 63);
+      u[nw - 1] >>= 1;
+      half_mod(x1);
+    }
+    while (!(v[0] & 1)) {
+      for (int i = 0; i < nw - 1; i++) v[i] = (v[i] >> 1) | (v[i + 1] << 63);
+      v[nw - 1] >>= 1;
+      half_mod(x2);
+    }
+    if (words_geq(u, v, nw)) {
+      sub_raw(u, v);
+      sub_mod_t<0>(f, x1, x2, x1);
+    } else {
+      sub_raw(v, u);
+      sub_mod_t<0>(f, x2, x1, x2);
+    }
+  }
+  const u64 *r = words_is_one(u, nw) ? x1 : x2;
+  // r = (aR)^{-1} mod p = a^{-1} R^{-1}; out = r * R^3 * R^{-1} = a^{-1} R
+  mont_mul(f, r, f.r3, out);
+}
+
 // Montgomery square-and-multiply: given a-hat = a R, returns a^e R.
 inline void mont_pow(const FieldP &f, const u64 *a, const u64 *e, u64 *out) {
   u64 result[MAXW], base[MAXW];
@@ -242,18 +330,6 @@ inline void store_el(const u64 *w, int nw, uint32_t *limbs) {
 struct JacP {
   u64 x[MAXW], y[MAXW], z[MAXW];
 };
-
-inline bool words_zero(const u64 *a, int nw) {
-  u64 o = 0;
-  for (int i = 0; i < nw; i++) o |= a[i];
-  return o == 0;
-}
-
-inline bool words_eq(const u64 *a, const u64 *b, int nw) {
-  u64 o = 0;
-  for (int i = 0; i < nw; i++) o |= a[i] ^ b[i];
-  return o == 0;
-}
 
 inline void jac_set_inf(const FieldP &f, JacP &r) {
   std::memset(r.x, 0, sizeof(r.x));
@@ -403,6 +479,314 @@ inline void jac_add_auto_t(const FieldP &f, const JacP &p1, const JacP &p2,
     jac_add_t<NW>(f, p1, p2, r);
 }
 
+// ---------------------------------------------------------------------
+// Batched-affine signed-digit Pippenger — the CPU MSM workhorse.
+//
+// Two improvements over the classic Jacobian bucket method (measured on
+// this machine, native/bench_kernels.cc):
+//  * bucket accumulation via the AFFINE add with batch-inverted
+//    denominators: 560 ns/add vs 1320 ns for the mixed Jacobian add —
+//    the Montgomery batch trick amortizes the inversion to ~3 muls per
+//    add, and a serial two-pass product is exactly what one CPU core is
+//    good at (the written argument for why this LOSES on TPU is in
+//    primitives/msm.py::_msm_1d_buckets);
+//  * signed digits in [-2^(c-1), 2^(c-1)]: halves the bucket count, so
+//    the per-window reduction (the dominant term for the PCS opening
+//    chains' many small MSMs) costs half, and the same reduce budget
+//    affords c+1 on large MSMs.
+//
+// Buckets are scheduled in conflict-free waves: each wave claims every
+// bucket at most once, batch-inverts all wave denominators in one pass,
+// and applies the affine adds; conflicting entries defer to the next
+// wave (waves ~= max bucket load, entries scanned once per deferral).
+// ---------------------------------------------------------------------
+struct AffP {
+  u64 x[MAXW], y[MAXW];
+  bool inf;
+};
+
+constexpr int MSM_MAX_C = 12;
+
+// scratch reused across calls (single-threaded XLA:CPU executor; the
+// thread_local keeps it correct if thunks ever run on a pool)
+struct MsmScratch {
+  std::vector<int16_t> dig;        // [n, Wtot] signed digits
+  std::vector<u64> bx, by;         // bucket affine coords [K2, nw]
+  std::vector<unsigned char> occ;  // bucket occupied flags
+  std::vector<uint32_t> claimed;   // bucket -> wave id
+  std::vector<uint32_t> qpid;      // queue: point id
+  std::vector<int32_t> qk;         // queue: bucket (negative = negate P)
+  std::vector<uint32_t> jk, jp;    // wave jobs: bucket, point id
+  std::vector<int8_t> jneg, jdbl;  // wave jobs: negate flag, doubling flag
+  std::vector<u64> den, pre;       // batch-inversion work
+};
+
+// signed base-2^c digits of an nbits = 64*nw_s scalar; Wtot = W + 1
+// entries (the extra window absorbs the final carry).
+inline void signed_digits(const u64 *s, int nw_s, int c, int Wtot,
+                          int16_t *dig) {
+  int carry = 0;
+  const int half = 1 << (c - 1);
+  for (int w = 0; w < Wtot; w++) {
+    const int bit = w * c;
+    const int word = bit / 64;
+    u64 v = 0;
+    if (word < nw_s) {
+      const int off = bit % 64;
+      v = s[word] >> off;
+      if (off + c > 64 && word + 1 < nw_s) v |= s[word + 1] << (64 - off);
+    }
+    int d = (int)(v & ((1u << c) - 1)) + carry;
+    if (d > half) {
+      d -= (1 << c);
+      carry = 1;
+    } else {
+      carry = 0;
+    }
+    dig[w] = (int16_t)d;
+  }
+}
+
+// batch inversion of nb nonzero denominators (Montgomery trick),
+// in place; pre[] is caller scratch of the same size.
+inline void batch_invert(const FieldP &f, u64 *den, u64 *pre, int nb) {
+  const int nw = f.nw;
+  u64 run[MAXW];
+  std::memcpy(run, f.one_m, sizeof(run));
+  for (int i = 0; i < nb; i++) {
+    std::memcpy(pre + (size_t)i * nw, run, nw * sizeof(u64));
+    mont_mul(f, run, den + (size_t)i * nw, run);
+  }
+  u64 rinv[MAXW];
+  mont_inv_one(f, run, rinv);
+  for (int i = nb; i-- > 0;) {
+    u64 t[MAXW];
+    mont_mul(f, rinv, pre + (size_t)i * nw, t);
+    mont_mul(f, rinv, den + (size_t)i * nw, rinv);
+    std::memcpy(den + (size_t)i * nw, t, nw * sizeof(u64));
+  }
+}
+
+template <int NW>
+inline void msm_one_affine_t(const FieldP &f, const AffP *pts, const u64 *scal,
+                             int n, int nw_s, JacP &out, MsmScratch &S) {
+  const int nw = fw<NW>(f);
+  const int nbits = nw_s * 64;
+  // window width by the measured mul-cost model: data adds ~5.4 fq-muls
+  // (batched affine), reduce ~31/bucket (mixed + full Jacobian add),
+  // Horner doubles ~8
+  int c = 2;
+  double best = 1e300;
+  for (int cc = 2; cc <= MSM_MAX_C; cc++) {
+    const double W = (nbits + cc - 1) / cc + 1;
+    const double cost =
+        W * ((double)n * 5.4 + (double)(1 << (cc - 1)) * 31.0 + cc * 8.0);
+    if (cost < best) { best = cost; c = cc; }
+  }
+  const int Wtot = (nbits + c - 1) / c + 1;
+  const int K2 = 1 << (c - 1);
+  const int G = Wtot * K2;  // flat (window, bucket) grid
+
+  S.dig.resize((size_t)n * Wtot);
+  for (int i = 0; i < n; i++)
+    signed_digits(scal + (size_t)i * nw_s, nw_s, c, Wtot,
+                  S.dig.data() + (size_t)i * Wtot);
+  S.bx.resize((size_t)G * nw);
+  S.by.resize((size_t)G * nw);
+  S.occ.assign(G, 0);
+  S.claimed.assign(G, 0);
+  S.jk.resize(G);
+  S.jp.resize(G);
+  S.jneg.resize(G);
+  S.jdbl.resize(G);
+  S.den.resize((size_t)G * nw);
+  S.pre.resize((size_t)G * nw);
+
+  // one queue over ALL (point, window) pairs: a wave claims each grid
+  // bucket at most once, so the shared inversion amortizes across the
+  // whole MSM (per-window waves paid a full inversion per wave — the
+  // dominant cost for small MSMs)
+  S.qpid.resize((size_t)n * Wtot);
+  S.qk.resize((size_t)n * Wtot);
+  size_t m = 0;
+  for (int i = 0; i < n; i++) {
+    if (pts[i].inf) continue;
+    const int16_t *di = S.dig.data() + (size_t)i * Wtot;
+    for (int w = 0; w < Wtot; w++) {
+      const int d = di[w];
+      if (!d) continue;
+      const int slot1 = w * K2 + (d > 0 ? d : -d);  // 1-based grid slot
+      S.qpid[m] = (uint32_t)i;
+      S.qk[m] = d > 0 ? slot1 : -slot1;
+      m++;
+    }
+  }
+  {
+    uint32_t wave = 0;
+    while (m > 0) {
+      wave++;
+      int nb = 0;
+      size_t m2 = 0;
+      for (size_t e = 0; e < m; e++) {
+        const int32_t dk = S.qk[e];
+        const int k = (dk > 0 ? dk : -dk) - 1;
+        if (S.claimed[k] == wave) {  // bucket already busy this wave
+          S.qpid[m2] = S.qpid[e];
+          S.qk[m2] = dk;
+          m2++;
+          continue;
+        }
+        S.claimed[k] = wave;
+        const AffP &P = pts[S.qpid[e]];
+        const bool neg = dk < 0;
+        u64 *BX = S.bx.data() + (size_t)k * nw;
+        u64 *BY = S.by.data() + (size_t)k * nw;
+        if (!S.occ[k]) {  // empty bucket: direct assignment
+          std::memcpy(BX, P.x, nw * sizeof(u64));
+          if (neg) {
+            u64 z[MAXW] = {0};
+            sub_mod_t<NW>(f, z, P.y, BY);
+          } else {
+            std::memcpy(BY, P.y, nw * sizeof(u64));
+          }
+          S.occ[k] = 1;
+          continue;
+        }
+        if (words_eq(BX, P.x, nw)) {
+          u64 py[MAXW];
+          if (neg) {
+            u64 z[MAXW] = {0};
+            sub_mod_t<NW>(f, z, P.y, py);
+          } else {
+            std::memcpy(py, P.y, nw * sizeof(u64));
+          }
+          if (!words_eq(BY, py, nw) || words_zero(py, nw)) {
+            S.occ[k] = 0;  // P + (-P): bucket cancels to infinity
+            continue;
+          }
+          // doubling: denom = 2 y
+          u64 *D = S.den.data() + (size_t)nb * nw;
+          add_mod_t<NW>(f, BY, BY, D);
+          S.jdbl[nb] = 1;
+        } else {
+          // addition: denom = x2 - x1
+          u64 *D = S.den.data() + (size_t)nb * nw;
+          sub_mod_t<NW>(f, P.x, BX, D);
+          S.jdbl[nb] = 0;
+        }
+        S.jk[nb] = (uint32_t)k;
+        S.jp[nb] = S.qpid[e];
+        S.jneg[nb] = (int8_t)neg;
+        nb++;
+      }
+      if (nb) {
+        batch_invert(f, S.den.data(), S.pre.data(), nb);
+        for (int j = 0; j < nb; j++) {
+          const int k = (int)S.jk[j];
+          u64 *BX = S.bx.data() + (size_t)k * nw;
+          u64 *BY = S.by.data() + (size_t)k * nw;
+          const AffP &P = pts[S.jp[j]];
+          const u64 *dinv = S.den.data() + (size_t)j * nw;
+          u64 lam[MAXW], t[MAXW], x3[MAXW];
+          if (S.jdbl[j]) {
+            // lambda = 3 x^2 / (2 y)
+            mont_mul_t<NW>(f, BX, BX, t);
+            u64 t3[MAXW];
+            add_mod_t<NW>(f, t, t, t3);
+            add_mod_t<NW>(f, t3, t, t3);
+            mont_mul_t<NW>(f, t3, dinv, lam);
+            mont_mul_t<NW>(f, lam, lam, x3);
+            sub_mod_t<NW>(f, x3, BX, x3);
+            sub_mod_t<NW>(f, x3, BX, x3);
+          } else {
+            u64 py[MAXW];
+            if (S.jneg[j]) {
+              u64 z[MAXW] = {0};
+              sub_mod_t<NW>(f, z, P.y, py);
+            } else {
+              std::memcpy(py, P.y, nw * sizeof(u64));
+            }
+            sub_mod_t<NW>(f, py, BY, t);      // y2 - y1
+            mont_mul_t<NW>(f, t, dinv, lam);  // lambda
+            mont_mul_t<NW>(f, lam, lam, x3);
+            sub_mod_t<NW>(f, x3, BX, x3);
+            sub_mod_t<NW>(f, x3, P.x, x3);    // x3 = l^2 - x1 - x2
+          }
+          sub_mod_t<NW>(f, BX, x3, t);
+          mont_mul_t<NW>(f, lam, t, t);
+          sub_mod_t<NW>(f, t, BY, BY);        // y3 = l (x1 - x3) - y1
+          std::memcpy(BX, x3, nw * sizeof(u64));
+        }
+      }
+      m = m2;
+    }
+  }
+
+  // reduce each window — sum_k (k+1) B_k via suffix accumulation (acc
+  // mixed-adds each occupied affine bucket; sum full-adds acc per
+  // bucket slot) — then Horner-combine windows MSB first
+  jac_set_inf(f, out);
+  JacP acc, sum, tmp;
+  for (int w = Wtot - 1; w >= 0; w--) {
+    if (w != Wtot - 1)
+      for (int b = 0; b < c; b++) jac_double_t<NW>(f, out, out);
+    jac_set_inf(f, acc);
+    jac_set_inf(f, sum);
+    const unsigned char *occ = S.occ.data() + (size_t)w * K2;
+    const size_t base = (size_t)w * K2;
+    for (int k = K2 - 1; k >= 0; k--) {
+      if (occ[k]) {
+        std::memcpy(tmp.x, S.bx.data() + (base + k) * nw, nw * sizeof(u64));
+        std::memcpy(tmp.y, S.by.data() + (base + k) * nw, nw * sizeof(u64));
+        std::memcpy(tmp.z, f.one_m, sizeof(tmp.z));
+        jac_add_mixed_t<NW>(f, acc, tmp, acc);
+      }
+      if (!words_zero(acc.z, nw)) jac_add_t<NW>(f, sum, acc, sum);
+    }
+    jac_add_t<NW>(f, out, sum, out);
+  }
+}
+
+// Convert n Jacobian points to affine (z == 0 -> inf flag).  Points
+// already affine (z == 1 Montgomery — the pre-normalized SRS bases) are
+// copied; projective inputs (e.g. gathered MSM partials in the leader
+// maps) are batch-normalized with ONE shared inversion.
+template <int NW>
+inline void to_affine_batch(const FieldP &f, const JacP *pts, int n,
+                            AffP *out, MsmScratch &S) {
+  const int nw = fw<NW>(f);
+  S.den.resize((size_t)n * nw);
+  S.pre.resize((size_t)n * nw);
+  S.jk.resize(n);
+  int nb = 0;
+  for (int i = 0; i < n; i++) {
+    if (words_zero(pts[i].z, nw)) {
+      out[i].inf = true;
+      continue;
+    }
+    out[i].inf = false;
+    if (words_eq(pts[i].z, f.one_m, nw)) {
+      std::memcpy(out[i].x, pts[i].x, nw * sizeof(u64));
+      std::memcpy(out[i].y, pts[i].y, nw * sizeof(u64));
+      continue;
+    }
+    std::memcpy(S.den.data() + (size_t)nb * nw, pts[i].z, nw * sizeof(u64));
+    S.jk[nb] = (uint32_t)i;
+    nb++;
+  }
+  if (!nb) return;
+  batch_invert(f, S.den.data(), S.pre.data(), nb);
+  for (int j = 0; j < nb; j++) {
+    const int i = (int)S.jk[j];
+    const u64 *zi = S.den.data() + (size_t)j * nw;
+    u64 zi2[MAXW], zi3[MAXW];
+    mont_mul_t<NW>(f, zi, zi, zi2);
+    mont_mul_t<NW>(f, zi2, zi, zi3);
+    mont_mul_t<NW>(f, pts[i].x, zi2, out[i].x);
+    mont_mul_t<NW>(f, pts[i].y, zi3, out[i].y);
+  }
+}
+
 // Window-w base-2^c digit of a scalar; digits may straddle word
 // boundaries (reads the next word when needed, guarded at the top end).
 inline int msm_digit(const u64 *s, int nw_s, int w, int c) {
@@ -413,8 +797,6 @@ inline int msm_digit(const u64 *s, int nw_s, int w, int c) {
   if (off + c > 64 && word + 1 < nw_s) v |= s[word + 1] << (64 - off);
   return (int)(v & ((1u << c) - 1));
 }
-
-constexpr int MSM_MAX_C = 12;
 
 // Pippenger MSM over one batch slot: out = sum_i s[i] * P[i].
 // Scalars as raw little-endian u64 words (standard form).
@@ -570,7 +952,7 @@ ffi::Error InvImpl(int32_t fid, ffi::AnyBuffer a,
     if (nz[i]) mont_mul(f, run, wa, run);
   }
   u64 rinv[MAXW];
-  mont_pow(f, run, f.e, rinv);  // (prod of non-zeros)^(p-2)
+  mont_inv_one(f, run, rinv);  // (prod of non-zeros)^{-1}
   u64 wr[MAXW];
   for (size_t i = n; i-- > 0;) {
     const u64 *wa = av.data() + i * nw;
@@ -607,18 +989,41 @@ ffi::Error g1_loop_t(const FieldP &f, int32_t mode, int32_t n_in,
                 sw.data() + ((size_t)o * n_in + i) * nw_s);
   }
 
+  // MSM_TINY: below this size per-point double-and-add beats even the
+  // batched-affine bucket pass (its per-window reduce is a fixed cost).
+  constexpr int MSM_TINY = 4;
+  static thread_local MsmScratch S;
+  static thread_local std::vector<AffP> apts;
   std::vector<u64> sbatch((mode == 0) ? (size_t)n_in * nw_s
                           : (mode == 1) ? (size_t)nw_s : 1);
+
+  auto msm_any = [&](const u64 *scal, JacP &out) {
+    if (n_in < MSM_TINY) {
+      jac_set_inf(f, out);
+      JacP t;
+      for (int i = 0; i < n_in; i++) {
+        smul_one_t<NW>(f, pts[i], scal + (size_t)i * nw_s, nw_s, t);
+        jac_add_t<NW>(f, out, t, out);
+      }
+      return;
+    }
+    msm_one_affine_t<NW>(f, apts.data(), scal, n_in, nw_s, out, S);
+  };
+
   for (size_t b = 0; b < B; b++) {
     for (int i = 0; i < n_in; i++)
       load_jac(px, py, pz, b * n_in + i, L, f.nw, pts[i]);
+    if ((mode == 0 || mode == 3) && n_in >= MSM_TINY) {
+      apts.resize(n_in);
+      to_affine_batch<NW>(f, pts.data(), n_in, apts.data(), S);
+    }
     JacP out;
     switch (mode) {
       case 0: {
         for (int i = 0; i < n_in; i++)
           load_el(ps + (b * n_in + i) * (size_t)Ls, nw_s,
                   sbatch.data() + (size_t)i * nw_s);
-        msm_one_t<NW>(f, pts.data(), sbatch.data(), n_in, nw_s, out);
+        msm_any(sbatch.data(), out);
         store_jac(out, b, L, f.nw, rx, ry, rz);
         break;
       }
@@ -636,8 +1041,7 @@ ffi::Error g1_loop_t(const FieldP &f, int32_t mode, int32_t n_in,
       }
       case 3: {
         for (int o = 0; o < n_out; o++) {
-          msm_one_t<NW>(f, pts.data(), sw.data() + (size_t)o * n_in * nw_s,
-                        n_in, nw_s, out);
+          msm_any(sw.data() + (size_t)o * n_in * nw_s, out);
           store_jac(out, b * n_out + o, L, f.nw, rx, ry, rz);
         }
         break;
@@ -767,6 +1171,11 @@ void sczk_field_init(int32_t fid, const u64 *p_words, int32_t nw) {
     add_mod(f, acc, acc, acc);
   }
   std::memcpy(f.one_m, acc, sizeof(acc));
+  // r3 = R^3 mod p: R2 = R doubled 64*nw times; r3 = mont_mul(R2, R2)
+  u64 r2[MAXW];
+  std::memcpy(r2, f.one_m, sizeof(r2));
+  for (int s = 0; s < 64 * nw; s++) add_mod(f, r2, r2, r2);
+  mont_mul(f, r2, r2, f.r3);
 }
 
 }  // extern "C"
