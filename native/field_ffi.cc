@@ -28,6 +28,7 @@
 // Field parameters are registered at load time via sczk_field_init
 // (moduli come from fields/config.py — single source of truth).
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cstdint>
@@ -35,6 +36,11 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#if defined(__AVX512IFMA__)
+#include <immintrin.h>
+#define SCZK_HAVE_IFMA 1
+#endif
 
 #include "xla/ffi/api/ffi.h"
 
@@ -49,6 +55,7 @@ constexpr int MAXW = 8;       // up to 512-bit fields
 constexpr int MAX_FIELDS = 8;
 
 struct FieldP {
+  int fid = -1;          // registry slot (keys the radix-52 twin g_f52)
   int nw = 0;            // number of 64-bit words
   u64 p[MAXW] = {0};     // modulus
   u64 e[MAXW] = {0};     // p - 2 (Fermat exponent)
@@ -232,14 +239,16 @@ inline bool words_geq(const u64 *a, const u64 *b, int nw) {
 // Fermat pow (381 shift/sub halvings vs ~770 full Montgomery muls).
 // Requires p < 2^(64 nw - 1) (holds for Fr 255/256 and Fq 381/384) so
 // the conditional +p in the halving fits one carry bit.  0 -> 0.
-inline void mont_inv_one(const FieldP &f, const u64 *a_hat, u64 *out) {
+// raw binary-EGCD inverse: out = a^{-1} mod p for a plain number a
+// (no Montgomery domain fixup); 0 -> 0.
+inline void egcd_inv_raw(const FieldP &f, const u64 *a, u64 *out) {
   const int nw = f.nw;
-  if (words_zero(a_hat, nw)) {
+  if (words_zero(a, nw)) {
     std::memset(out, 0, nw * sizeof(u64));
     return;
   }
   u64 u[MAXW], v[MAXW], x1[MAXW] = {0}, x2[MAXW] = {0};
-  std::memcpy(u, a_hat, nw * sizeof(u64));
+  std::memcpy(u, a, nw * sizeof(u64));
   std::memcpy(v, f.p, nw * sizeof(u64));
   x1[0] = 1;
   auto half_mod = [&](u64 *x) {
@@ -284,7 +293,14 @@ inline void mont_inv_one(const FieldP &f, const u64 *a_hat, u64 *out) {
     }
   }
   const u64 *r = words_is_one(u, nw) ? x1 : x2;
-  // r = (aR)^{-1} mod p = a^{-1} R^{-1}; out = r * R^3 * R^{-1} = a^{-1} R
+  std::memcpy(out, r, nw * sizeof(u64));
+}
+
+// Montgomery-domain inverse: a_hat = aR -> a^{-1} R (0 -> 0).
+inline void mont_inv_one(const FieldP &f, const u64 *a_hat, u64 *out) {
+  u64 r[MAXW];
+  egcd_inv_raw(f, a_hat, r);
+  // r = (aR)^{-1} = a^{-1} R^{-1}; out = r * R^3 * R^{-1} = a^{-1} R
   mont_mul(f, r, f.r3, out);
 }
 
@@ -302,6 +318,327 @@ inline void mont_pow(const FieldP &f, const u64 *a, const u64 *e, u64 *out) {
   }
   std::memcpy(out, result, f.nw * sizeof(u64));
 }
+
+// ---------------------------------------------------------------------
+// Radix-52 field arithmetic for the AVX512IFMA path.  vpmadd52{lo,hi}
+// give 8 independent 52x52+64 multiply-accumulates per instruction —
+// a full 8-lane 381-bit Montgomery multiply lands at ~6.5 ns/mul vs
+// ~88 ns scalar (native/bench_kernels.cc) — so every data-parallel
+// section of the MSM (bucket adds, batch inversions, domain
+// conversions) runs 8 lanes wide in radix 52.
+//
+// Domain note: the radix-52 CIOS uses R52 = 2^(52 NL) (NL = number of
+// 52-bit limbs) while the rest of the library uses R64 = 2^(64 nw).
+// Values entering the IFMA region are converted x*R64 -> x*R52 by one
+// Montgomery multiply with c_to52 = R52^2/R64, and leave via one
+// multiply with one64_52 = R64 (both precomputed at field init).
+// ---------------------------------------------------------------------
+constexpr int MAXL52 = 11;  // up to 8x64 = 512 bits -> 10 limbs
+constexpr u64 MASK52 = (1ULL << 52) - 1;
+
+struct F52 {
+  int nl = 0;           // limb count = ceil(64 nw / 52)
+  u64 p52[MAXL52] = {0};
+  u64 n0inv52 = 0;      // -p^{-1} mod 2^52
+  u64 one52[MAXL52] = {0};    // R52 mod p      ("1" of the R52 domain)
+  u64 c_to52[MAXL52] = {0};   // R52^2 / R64 mod p
+  u64 one64_52[MAXL52] = {0}; // R64 mod p      (back-conversion factor)
+  u64 r52fix[MAXL52] = {0};   // R52^3 mod p    (EGCD-inverse fixup)
+};
+
+F52 g_f52[MAX_FIELDS];
+
+// radix-64 words [nw] -> radix-52 limbs [nl] (generic bit repack)
+inline void to52(const u64 *a, int nw, int nl, u64 *o) {
+  for (int i = 0; i < nl; i++) {
+    const int bit = 52 * i;
+    const int w = bit / 64, off = bit % 64;
+    u64 v = (w < nw) ? (a[w] >> off) : 0;
+    if (off > 12 && w + 1 < nw) v |= a[w + 1] << (64 - off);
+    o[i] = v & MASK52;
+  }
+}
+
+inline void from52(const u64 *a, int nl, int nw, u64 *o) {
+  for (int w = 0; w < nw; w++) o[w] = 0;
+  for (int i = 0; i < nl; i++) {
+    const int bit = 52 * i;
+    const int w = bit / 64, off = bit % 64;
+    o[w] |= a[i] << off;
+    if (off > 12 && w + 1 < nw) o[w + 1] |= a[i] >> (64 - off);
+  }
+}
+
+inline bool geq52(const u64 *a, const u64 *b, int nl) {
+  for (int i = nl - 1; i >= 0; i--) {
+    if (a[i] > b[i]) return true;
+    if (a[i] < b[i]) return false;
+  }
+  return true;
+}
+
+inline void add52_s(const F52 &f, const u64 *a, const u64 *b, u64 *r) {
+  u64 carry = 0;
+  for (int i = 0; i < f.nl; i++) {
+    u64 s = a[i] + b[i] + carry;
+    r[i] = s & MASK52;
+    carry = s >> 52;
+  }
+  if (geq52(r, f.p52, f.nl)) {
+    u64 borrow = 0;
+    for (int i = 0; i < f.nl; i++) {
+      u64 d = r[i] - f.p52[i] - borrow;
+      borrow = (d >> 63) & 1;
+      r[i] = d & MASK52;
+    }
+  }
+}
+
+inline void sub52_s(const F52 &f, const u64 *a, const u64 *b, u64 *r) {
+  u64 borrow = 0;
+  for (int i = 0; i < f.nl; i++) {
+    u64 d = a[i] - b[i] - borrow;
+    borrow = (d >> 63) & 1;
+    r[i] = d & MASK52;
+  }
+  if (borrow) {
+    u64 carry = 0;
+    for (int i = 0; i < f.nl; i++) {
+      u64 s = r[i] + f.p52[i] + carry;
+      r[i] = s & MASK52;
+      carry = s >> 52;
+    }
+  }
+}
+
+// scalar radix-52 Montgomery multiply (CIOS), for glue paths (stripe
+// combines, doubling jobs, domain conversions in the reduce)
+inline void mont_mul52_s(const F52 &f, const u64 *a, const u64 *b, u64 *out) {
+  const int nl = f.nl;
+  u64 t[MAXL52 + 1] = {0};
+  for (int i = 0; i < nl; i++) {
+    u64 carry = 0;
+    for (int j = 0; j < nl; j++) {
+      u128 pr = (u128)a[i] * b[j] + t[j] + carry;
+      t[j] = (u64)pr & MASK52;
+      carry = (u64)(pr >> 52);
+    }
+    t[nl] += carry;
+    const u64 m = (t[0] * f.n0inv52) & MASK52;
+    carry = (u64)(((u128)m * f.p52[0] + t[0]) >> 52);
+    for (int j = 1; j < nl; j++) {
+      u128 pr = (u128)m * f.p52[j] + t[j] + carry;
+      t[j - 1] = (u64)pr & MASK52;
+      carry = (u64)(pr >> 52);
+    }
+    t[nl - 1] = t[nl] + carry;
+    t[nl] = 0;
+  }
+  if (geq52(t, f.p52, nl)) {
+    u64 borrow = 0;
+    for (int i = 0; i < nl; i++) {
+      u64 d = t[i] - f.p52[i] - borrow;
+      borrow = (d >> 63) & 1;
+      out[i] = d & MASK52;
+    }
+  } else {
+    std::memcpy(out, t, nl * sizeof(u64));
+  }
+}
+
+#ifdef SCZK_HAVE_IFMA
+// SoA block of 8 lanes; l[i] holds limb i of 8 independent elements.
+template <int NL>
+struct V8 {
+  __m512i l[NL];
+};
+
+// 8-lane radix-52 Montgomery multiply (inputs/outputs reduced < p)
+template <int NL>
+inline void mm8_mul(const F52 &f, const V8<NL> &A, const V8<NL> &B,
+                    V8<NL> &O) {
+  const __m512i zero = _mm512_setzero_si512();
+  const __m512i n0 = _mm512_set1_epi64(f.n0inv52);
+  __m512i p[NL];
+  for (int i = 0; i < NL; i++) p[i] = _mm512_set1_epi64(f.p52[i]);
+  __m512i acc[NL + 1];
+  for (int i = 0; i <= NL; i++) acc[i] = zero;
+  for (int i = 0; i < NL; i++) {
+    const __m512i ai = A.l[i];
+    for (int j = 0; j < NL; j++) {
+      acc[j] = _mm512_madd52lo_epu64(acc[j], ai, B.l[j]);
+      acc[j + 1] = _mm512_madd52hi_epu64(acc[j + 1], ai, B.l[j]);
+    }
+    const __m512i m = _mm512_madd52lo_epu64(zero, acc[0], n0);
+    for (int j = 0; j < NL; j++) {
+      acc[j] = _mm512_madd52lo_epu64(acc[j], m, p[j]);
+      acc[j + 1] = _mm512_madd52hi_epu64(acc[j + 1], m, p[j]);
+    }
+    acc[1] = _mm512_add_epi64(acc[1], _mm512_srli_epi64(acc[0], 52));
+    for (int j = 0; j < NL; j++) acc[j] = acc[j + 1];
+    acc[NL] = zero;
+  }
+  const __m512i mask = _mm512_set1_epi64(MASK52);
+  for (int j = 0; j < NL - 1; j++) {
+    acc[j + 1] = _mm512_add_epi64(acc[j + 1], _mm512_srli_epi64(acc[j], 52));
+    acc[j] = _mm512_and_epi64(acc[j], mask);
+  }
+  __m512i d[NL];
+  __mmask8 borrow = 0;
+  for (int j = 0; j < NL; j++) {
+    __m512i bin = _mm512_maskz_set1_epi64(borrow, 1);
+    __m512i bj = _mm512_sub_epi64(_mm512_sub_epi64(acc[j], p[j]), bin);
+    borrow = _mm512_cmplt_epu64_mask(acc[j], _mm512_add_epi64(p[j], bin));
+    d[j] = _mm512_and_epi64(bj, mask);
+  }
+  for (int j = 0; j < NL; j++)
+    O.l[j] = _mm512_mask_blend_epi64(borrow, d[j], acc[j]);
+}
+
+// 8-lane modular subtract (lanes of mask `negout` additionally produce
+// p - (a - b), i.e. the negated difference — used for signed points)
+template <int NL>
+inline void mm8_sub(const F52 &f, const V8<NL> &A, const V8<NL> &B,
+                    V8<NL> &O) {
+  const __m512i mask = _mm512_set1_epi64(MASK52);
+  __m512i p[NL];
+  for (int i = 0; i < NL; i++) p[i] = _mm512_set1_epi64(f.p52[i]);
+  __m512i d[NL];
+  __mmask8 borrow = 0;
+  for (int j = 0; j < NL; j++) {
+    __m512i bin = _mm512_maskz_set1_epi64(borrow, 1);
+    d[j] = _mm512_sub_epi64(_mm512_sub_epi64(A.l[j], B.l[j]), bin);
+    borrow = _mm512_cmplt_epu64_mask(A.l[j], _mm512_add_epi64(B.l[j], bin));
+    d[j] = _mm512_and_epi64(d[j], mask);
+  }
+  // lanes with borrow: add p back
+  __mmask8 carry = 0;
+  for (int j = 0; j < NL; j++) {
+    __m512i cin = _mm512_maskz_set1_epi64(carry, 1);
+    __m512i s =
+        _mm512_add_epi64(_mm512_add_epi64(d[j], _mm512_maskz_mov_epi64(borrow, p[j])), cin);
+    carry = _kand_mask8(borrow, _mm512_cmpgt_epu64_mask(
+                                    _mm512_srli_epi64(s, 52), _mm512_setzero_si512()));
+    O.l[j] = _mm512_and_epi64(s, mask);
+  }
+}
+
+// 8-lane modular add
+template <int NL>
+inline void mm8_add(const F52 &f, const V8<NL> &A, const V8<NL> &B,
+                    V8<NL> &O) {
+  const __m512i mask = _mm512_set1_epi64(MASK52);
+  __m512i s[NL];
+  __m512i carry = _mm512_setzero_si512();
+  for (int j = 0; j < NL; j++) {
+    __m512i t = _mm512_add_epi64(_mm512_add_epi64(A.l[j], B.l[j]), carry);
+    carry = _mm512_srli_epi64(t, 52);
+    s[j] = _mm512_and_epi64(t, mask);
+  }
+  // conditional subtract p where s >= p
+  __m512i d[NL];
+  __mmask8 borrow = 0;
+  for (int j = 0; j < NL; j++) {
+    const __m512i pj = _mm512_set1_epi64(f.p52[j]);
+    __m512i bin = _mm512_maskz_set1_epi64(borrow, 1);
+    d[j] = _mm512_and_epi64(
+        _mm512_sub_epi64(_mm512_sub_epi64(s[j], pj), bin), mask);
+    borrow = _mm512_cmplt_epu64_mask(s[j], _mm512_add_epi64(pj, bin));
+  }
+  for (int j = 0; j < NL; j++)
+    O.l[j] = _mm512_mask_blend_epi64(borrow, d[j], s[j]);
+}
+
+// conditional negate: lanes in `m` become p - a (a != 0 assumed; curve
+// y-coordinates are never 0 on BLS12-381)
+template <int NL>
+inline void mm8_neg_masked(const F52 &f, V8<NL> &A, __mmask8 m) {
+  if (!m) return;
+  const __m512i mask = _mm512_set1_epi64(MASK52);
+  __mmask8 borrow = 0;
+  for (int j = 0; j < NL; j++) {
+    const __m512i pj = _mm512_set1_epi64(f.p52[j]);
+    __m512i bin = _mm512_maskz_set1_epi64(borrow, 1);
+    __m512i d = _mm512_sub_epi64(_mm512_sub_epi64(pj, A.l[j]), bin);
+    borrow = _mm512_cmplt_epu64_mask(pj, _mm512_add_epi64(A.l[j], bin));
+    A.l[j] = _mm512_mask_and_epi64(A.l[j], m, d, mask);
+  }
+}
+
+// 8x8 u64 in-register transpose (24 shuffles)
+inline void transpose8x8(const __m512i r[8], __m512i o[8]) {
+  __m512i t[8], u[8];
+  t[0] = _mm512_unpacklo_epi64(r[0], r[1]);
+  t[1] = _mm512_unpackhi_epi64(r[0], r[1]);
+  t[2] = _mm512_unpacklo_epi64(r[2], r[3]);
+  t[3] = _mm512_unpackhi_epi64(r[2], r[3]);
+  t[4] = _mm512_unpacklo_epi64(r[4], r[5]);
+  t[5] = _mm512_unpackhi_epi64(r[4], r[5]);
+  t[6] = _mm512_unpacklo_epi64(r[6], r[7]);
+  t[7] = _mm512_unpackhi_epi64(r[6], r[7]);
+  u[0] = _mm512_shuffle_i64x2(t[0], t[2], 0x88);
+  u[1] = _mm512_shuffle_i64x2(t[1], t[3], 0x88);
+  u[2] = _mm512_shuffle_i64x2(t[0], t[2], 0xdd);
+  u[3] = _mm512_shuffle_i64x2(t[1], t[3], 0xdd);
+  u[4] = _mm512_shuffle_i64x2(t[4], t[6], 0x88);
+  u[5] = _mm512_shuffle_i64x2(t[5], t[7], 0x88);
+  u[6] = _mm512_shuffle_i64x2(t[4], t[6], 0xdd);
+  u[7] = _mm512_shuffle_i64x2(t[5], t[7], 0xdd);
+  o[0] = _mm512_shuffle_i64x2(u[0], u[4], 0x88);
+  o[1] = _mm512_shuffle_i64x2(u[1], u[5], 0x88);
+  o[2] = _mm512_shuffle_i64x2(u[2], u[6], 0x88);
+  o[3] = _mm512_shuffle_i64x2(u[3], u[7], 0x88);
+  o[4] = _mm512_shuffle_i64x2(u[0], u[4], 0xdd);
+  o[5] = _mm512_shuffle_i64x2(u[1], u[5], 0xdd);
+  o[6] = _mm512_shuffle_i64x2(u[2], u[6], 0xdd);
+  o[7] = _mm512_shuffle_i64x2(u[3], u[7], 0xdd);
+}
+
+// transpose 8 contiguous radix-52 elements (AoS u64[NL]) into SoA.
+// NL == 8 (Fq): one vector load per element + in-register transpose.
+template <int NL>
+inline void mm8_load(const u64 *const src[8], V8<NL> &o) {
+  if constexpr (NL == 8) {
+    __m512i r[8];
+    for (int k = 0; k < 8; k++) r[k] = _mm512_loadu_si512(src[k]);
+    transpose8x8(r, o.l);
+    return;
+  }
+  alignas(64) u64 row[8];
+  for (int j = 0; j < NL; j++) {
+    for (int k = 0; k < 8; k++) row[k] = src[k][j];
+    o.l[j] = _mm512_load_epi64(row);
+  }
+}
+
+template <int NL>
+inline void mm8_store(const V8<NL> &o, u64 *dst[8], int cnt) {
+  if constexpr (NL == 8) {
+    __m512i r[8];
+    transpose8x8(o.l, r);
+    for (int k = 0; k < cnt; k++) _mm512_storeu_si512(dst[k], r[k]);
+    return;
+  }
+  alignas(64) u64 row[8];
+  for (int j = 0; j < NL; j++) {
+    _mm512_store_epi64(row, o.l[j]);
+    for (int k = 0; k < cnt; k++) dst[k][j] = row[k];
+  }
+}
+
+template <int NL>
+inline void mm8_broadcast(const u64 *v, V8<NL> &o) {
+  for (int j = 0; j < NL; j++) o.l[j] = _mm512_set1_epi64(v[j]);
+}
+#endif  // SCZK_HAVE_IFMA
+
+bool g_has_ifma = [] {
+#ifdef SCZK_HAVE_IFMA
+  return __builtin_cpu_supports("avx512ifma") != 0;
+#else
+  return false;
+#endif
+}();
 
 // 16-bit uint32 limbs [L] <-> u64 words [nw] (L = 4 nw).
 inline void load_el(const uint32_t *limbs, int nw, u64 *w) {
@@ -507,6 +844,12 @@ struct AffP {
 
 constexpr int MSM_MAX_C = 12;
 
+// affine point in the radix-52 / R52 Montgomery domain (IFMA path)
+struct AffP52 {
+  u64 x[MAXL52], y[MAXL52];
+  bool inf;
+};
+
 // scratch reused across calls (single-threaded XLA:CPU executor; the
 // thread_local keeps it correct if thunks ever run on a pool)
 struct MsmScratch {
@@ -519,7 +862,93 @@ struct MsmScratch {
   std::vector<uint32_t> jk, jp;    // wave jobs: bucket, point id
   std::vector<int8_t> jneg, jdbl;  // wave jobs: negate flag, doubling flag
   std::vector<u64> den, pre;       // batch-inversion work
+  // IFMA (radix-52) extensions
+  std::vector<AffP52> p52;         // converted input points
+  std::vector<u64> dend;           // doubling-job denominators
+  std::vector<uint32_t> jdk;       // doubling-job slots
+  std::vector<u64> borig;          // batch-inversion original copy
+  std::vector<u64> bwx, bwy;       // tree-reduce coordinate arena
+  std::vector<unsigned char> binf; // arena infinity flags
+  std::vector<uint32_t> seg_start, seg_len, idx, ja, jb, jo;
 };
+
+// r = p - a for a != 0 (radix 52, reduced input)
+inline void neg52_s(const F52 &f, const u64 *a, u64 *r) {
+  u64 borrow = 0;
+  for (int i = 0; i < f.nl; i++) {
+    u64 d = f.p52[i] - a[i] - borrow;
+    borrow = (d >> 63) & 1;
+    r[i] = d & MASK52;
+  }
+}
+
+// R52-domain Montgomery inverse of one radix-52 value (EGCD + fixup)
+inline void inv52_one(const FieldP &fp, const F52 &f, const u64 *a, u64 *out) {
+  u64 t64[MAXW] = {0}, raw[MAXW];
+  from52(a, f.nl, fp.nw, t64);
+  egcd_inv_raw(fp, t64, raw);
+  u64 raw52[MAXL52];
+  to52(raw, fp.nw, f.nl, raw52);
+  // raw = (x R52)^{-1} = x^{-1} R52^{-2} * R52; fix: * R52^3 * R52^{-1}
+  mont_mul52_s(f, raw52, f.r52fix, out);
+}
+
+#ifdef SCZK_HAVE_IFMA
+// striped 8-lane batch inversion over AoS radix-52 values (R52 domain),
+// in place.  den: [nbp][NL], nbp a multiple of 8, padding slots one52.
+template <int NL>
+void batch_invert52_ifma(const FieldP &fp, const F52 &f, u64 *den, int nbp,
+                         MsmScratch &S) {
+  const int G = nbp / 8;
+  S.borig.resize((size_t)nbp * NL);
+  std::memcpy(S.borig.data(), den, (size_t)nbp * NL * sizeof(u64));
+  S.pre.resize((size_t)nbp * NL);
+  V8<NL> run;
+  mm8_broadcast<NL>(f.one52, run);
+  u64 *wp[8];
+  const u64 *rp[8];
+  for (int t = 0; t < G; t++) {
+    for (int k = 0; k < 8; k++) wp[k] = S.pre.data() + ((size_t)8 * t + k) * NL;
+    mm8_store<NL>(run, wp, 8);
+    for (int k = 0; k < 8; k++) rp[k] = S.borig.data() + ((size_t)8 * t + k) * NL;
+    V8<NL> g;
+    mm8_load<NL>(rp, g);
+    mm8_mul<NL>(f, run, g, run);
+  }
+  // stripe totals -> one shared EGCD inverse -> per-lane inverses
+  u64 tot[8][MAXL52], pret[8][MAXL52], runT[MAXL52], laneinv[8][MAXL52];
+  u64 *tp[8];
+  for (int k = 0; k < 8; k++) tp[k] = tot[k];
+  mm8_store<NL>(run, tp, 8);
+  std::memcpy(runT, f.one52, sizeof(runT));
+  for (int k = 0; k < 8; k++) {
+    std::memcpy(pret[k], runT, sizeof(runT));
+    mont_mul52_s(f, runT, tot[k], runT);
+  }
+  u64 Tinv[MAXL52];
+  inv52_one(fp, f, runT, Tinv);
+  u64 run2[MAXL52];
+  std::memcpy(run2, Tinv, sizeof(run2));
+  for (int k = 7; k >= 0; k--) {
+    mont_mul52_s(f, run2, pret[k], laneinv[k]);
+    mont_mul52_s(f, run2, tot[k], run2);
+  }
+  V8<NL> rinv;
+  for (int k = 0; k < 8; k++) rp[k] = laneinv[k];
+  mm8_load<NL>(rp, rinv);
+  for (int t = G - 1; t >= 0; t--) {
+    for (int k = 0; k < 8; k++) rp[k] = S.pre.data() + ((size_t)8 * t + k) * NL;
+    V8<NL> pg, og, outv;
+    mm8_load<NL>(rp, pg);
+    for (int k = 0; k < 8; k++) rp[k] = S.borig.data() + ((size_t)8 * t + k) * NL;
+    mm8_load<NL>(rp, og);
+    mm8_mul<NL>(f, rinv, pg, outv);
+    for (int k = 0; k < 8; k++) wp[k] = den + ((size_t)8 * t + k) * NL;
+    mm8_store<NL>(outv, wp, 8);
+    mm8_mul<NL>(f, rinv, og, rinv);
+  }
+}
+#endif  // SCZK_HAVE_IFMA
 
 // signed base-2^c digits of an nbits = 64*nw_s scalar; Wtot = W + 1
 // entries (the extra window absorbs the final carry).
@@ -746,6 +1175,440 @@ inline void msm_one_affine_t(const FieldP &f, const AffP *pts, const u64 *scal,
     jac_add_t<NW>(f, out, sum, out);
   }
 }
+
+#ifdef SCZK_HAVE_IFMA
+// IFMA variant of the batched-affine MSM: identical wave/bucket scheme,
+// but all bucket arithmetic runs in radix-52 / R52 form with the data
+// adds and batch inversions 8 lanes wide (mm8_*).  Points convert into
+// the domain once; buckets convert back at the reduce.
+template <int NW>
+inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
+                                  const u64 *scal, int n, int nw_s, JacP &out,
+                                  MsmScratch &S) {
+  constexpr int NL = (64 * NW + 51) / 52;
+  const F52 &f = g_f52[fp.fid];
+  const int nbits = nw_s * 64;
+  // cost model in fq-mul units: vectorized data add ~1.2, reduce ~31
+  int c = 2;
+  double best = 1e300;
+  for (int cc = 2; cc <= MSM_MAX_C; cc++) {
+    const double W = (nbits + cc - 1) / cc + 1;
+    const double cost =
+        W * ((double)n * 1.2 + (double)(1 << (cc - 1)) * 31.0 + cc * 8.0);
+    if (cost < best) { best = cost; c = cc; }
+  }
+  const int Wtot = (nbits + c - 1) / c + 1;
+  const int K2 = 1 << (c - 1);
+  const int G = Wtot * K2;
+
+  static bool stats = std::getenv("SCZK_MSM_STATS") != nullptr;
+  auto tick = [&]() {
+    return stats ? std::chrono::steady_clock::now()
+                 : std::chrono::steady_clock::time_point();
+  };
+  auto ms = [](auto a, auto b) {
+    return std::chrono::duration<double, std::milli>(b - a).count();
+  };
+  auto t0 = tick();
+
+  S.dig.resize((size_t)n * Wtot);
+  for (int i = 0; i < n; i++)
+    signed_digits(scal + (size_t)i * nw_s, nw_s, c, Wtot,
+                  S.dig.data() + (size_t)i * Wtot);
+
+  // convert points into the radix-52 R52 domain, 8 lanes at a time
+  S.p52.resize(n);
+  V8<NL> cto;
+  mm8_broadcast<NL>(f.c_to52, cto);
+  {
+    u64 tmp[8][2][MAXL52];
+    const u64 *rp[8];
+    u64 *wp[8];
+    for (int i0 = 0; i0 < n; i0 += 8) {
+      const int cnt = n - i0 < 8 ? n - i0 : 8;
+      for (int k = 0; k < 8; k++) {
+        const AffP &P = pts[i0 + (k < cnt ? k : 0)];
+        to52(P.x, NW, NL, tmp[k][0]);
+        to52(P.y, NW, NL, tmp[k][1]);
+        if (k < cnt) S.p52[i0 + k].inf = P.inf;
+      }
+      V8<NL> v;
+      for (int coord = 0; coord < 2; coord++) {
+        for (int k = 0; k < 8; k++) rp[k] = tmp[k][coord];
+        mm8_load<NL>(rp, v);
+        mm8_mul<NL>(f, v, cto, v);
+        for (int k = 0; k < cnt; k++)
+          wp[k] = coord ? S.p52[i0 + k].y : S.p52[i0 + k].x;
+        mm8_store<NL>(v, wp, cnt);
+      }
+    }
+  }
+
+  S.bx.resize((size_t)G * NL);
+  S.by.resize((size_t)G * NL);
+  S.occ.assign(G, 0);
+
+  // Sorted pairwise tree-reduce.  A naive one-add-per-bucket-per-wave
+  // scheme serializes on hot buckets — the TOP windows of 255-bit
+  // scalars concentrate thousands of entries into a handful of buckets
+  // (the final carry window puts ~n/2 entries into ONE bucket), which
+  // cost O(max load) waves.  Instead: counting-sort the (point, window)
+  // entries by grid slot, then reduce each slot's entry list pairwise —
+  // all pairs of a level are independent, so every level is one batched
+  // inversion + one vectorized add sweep, and a load-L bucket finishes
+  // in log2(L) levels.  Entries materialize their signed y up front, so
+  // the add kernel needs no negation handling at all.
+  // Slots are processed in chunks of <= CHUNK entries to bound the
+  // coordinate arena.
+  auto t1 = tick();
+  size_t total_adds = 0;
+  int levels_run = 0;
+  // counting sort by slot
+  S.claimed.assign(G + 1, 0);  // reused as histogram / segment starts
+  uint32_t *starts = S.claimed.data();
+  size_t m = 0;
+  for (int i = 0; i < n; i++) {
+    if (S.p52[i].inf) continue;
+    const int16_t *di = S.dig.data() + (size_t)i * Wtot;
+    for (int w = 0; w < Wtot; w++) {
+      const int d = di[w];
+      if (!d) continue;
+      starts[w * K2 + (d > 0 ? d : -d) - 1]++;
+      m++;
+    }
+  }
+  uint32_t acc_cnt = 0;
+  for (int k = 0; k <= G; k++) {
+    const uint32_t c0 = k < G ? starts[k] : 0;
+    starts[k] = acc_cnt;
+    acc_cnt += c0;
+  }
+  S.qpid.resize(m);  // sorted entries: point id
+  S.qk.resize(m);    // sorted entries: sign (+1/-1)
+  {
+    std::vector<uint32_t> &fill = S.jp;  // reuse as per-slot cursor
+    fill.assign(starts, starts + G);
+    for (int i = 0; i < n; i++) {
+      if (S.p52[i].inf) continue;
+      const int16_t *di = S.dig.data() + (size_t)i * Wtot;
+      for (int w = 0; w < Wtot; w++) {
+        const int d = di[w];
+        if (!d) continue;
+        const int k = w * K2 + (d > 0 ? d : -d) - 1;
+        const uint32_t pos = fill[k]++;
+        S.qpid[pos] = (uint32_t)i;
+        S.qk[pos] = d > 0 ? 1 : -1;
+      }
+    }
+  }
+
+  constexpr int CHUNK = 8192;
+  // arena: materialized coords (x, y) per working entry + inf flag
+  S.bwx.resize((size_t)2 * CHUNK * NL);
+  S.bwy.resize((size_t)2 * CHUNK * NL);
+  S.binf.resize(2 * CHUNK);
+  S.seg_start.resize(G + 1);
+  S.seg_len.resize(G);
+  S.idx.resize(2 * CHUNK);
+  S.ja.resize(CHUNK);  // job: left entry arena index
+  S.jb.resize(CHUNK);  // job: right entry arena index
+  S.jo.resize(CHUNK);  // job: output arena index
+  S.jdk.resize(CHUNK);
+  S.den.resize(((size_t)CHUNK + 8) * NL);
+  S.dend.resize((size_t)CHUNK * NL);
+
+  int k0 = 0;
+  while (k0 < G) {
+    // take slots [k0, k1) with <= CHUNK entries (a single slot may
+    // legally exceed CHUNK only if its load > CHUNK: take it alone and
+    // spill — handled by capping the level-0 segment pair count)
+    int k1 = k0;
+    size_t cnt = 0;
+    while (k1 < G) {
+      const size_t L = starts[k1 + 1] - starts[k1];
+      if (cnt && cnt + L > CHUNK) break;
+      cnt += L;
+      k1++;
+      if (cnt >= CHUNK) break;
+    }
+    if (cnt == 0) { k0 = k1; continue; }
+    size_t base = starts[k0];
+    while (true) {  // spill loop for oversized single slots
+      // materialize up to CHUNK entries of [k0, k1) starting at base
+      int nseg = 0;
+      size_t w = 0;  // arena write cursor
+      for (int k = k0; k < k1; k++) {
+        const size_t lo = std::max((size_t)starts[k], base);
+        const size_t hi = std::min((size_t)starts[k + 1], base + CHUNK);
+        if (lo >= hi) continue;
+        S.seg_start[nseg] = (uint32_t)w;
+        S.seg_len[nseg] = (uint32_t)(hi - lo);
+        nseg++;
+        for (size_t e = lo; e < hi; e++, w++) {
+          const AffP52 &P = S.p52[S.qpid[e]];
+          S.idx[w] = (uint32_t)w;
+          std::memcpy(S.bwx.data() + w * NL, P.x, NL * sizeof(u64));
+          if (S.qk[e] < 0) neg52_s(f, P.y, S.bwy.data() + w * NL);
+          else std::memcpy(S.bwy.data() + w * NL, P.y, NL * sizeof(u64));
+          S.binf[w] = 0;
+        }
+      }
+      size_t arena_top = w;
+      // pairwise levels until every segment has one survivor
+      bool more = true;
+      while (more) {
+        more = false;
+        int na = 0, nd = 0;
+        // schedule pass: pair up within each segment
+        for (int s = 0; s < nseg; s++) {
+          const uint32_t st = S.seg_start[s];
+          const uint32_t len = S.seg_len[s];
+          if (len < 2) continue;
+          uint32_t out = st;
+          for (uint32_t t = 0; t + 1 < len; t += 2) {
+            const uint32_t ia = S.idx[st + t], ib = S.idx[st + t + 1];
+            const u64 *ax = S.bwx.data() + (size_t)ia * NL;
+            const u64 *bx2 = S.bwx.data() + (size_t)ib * NL;
+            uint32_t io;
+            if (S.binf[ia]) {
+              io = ib;  // inf + Q = Q
+            } else if (S.binf[ib]) {
+              io = ia;
+            } else if (words_eq(ax, bx2, NL)) {
+              const u64 *ay = S.bwy.data() + (size_t)ia * NL;
+              const u64 *by2 = S.bwy.data() + (size_t)ib * NL;
+              if (!words_eq(ay, by2, NL) || words_zero(ay, NL)) {
+                io = (uint32_t)arena_top;  // P + (-P) = inf
+                S.binf[arena_top] = 2;     // mark: pure inf output
+                arena_top++;
+              } else {
+                add52_s(f, ay, ay, S.dend.data() + (size_t)nd * NL);  // 2y
+                io = (uint32_t)arena_top;
+                S.binf[arena_top] = 0;
+                S.jdk[nd] = (uint32_t)ia;  // reuse: left operand
+                S.ja[CHUNK - 1 - nd] = io; // dbl outputs from the back
+                nd++;
+                arena_top++;
+              }
+            } else {
+              sub52_s(f, bx2, ax, S.den.data() + (size_t)na * NL);
+              S.ja[na] = ia;
+              S.jb[na] = ib;
+              io = (uint32_t)arena_top;
+              S.binf[arena_top] = 0;
+              S.jo[na] = io;
+              na++;
+              arena_top++;
+            }
+            S.idx[out++] = io;
+          }
+          if (len & 1) S.idx[out++] = S.idx[st + len - 1];
+          S.seg_len[s] = out - st;
+          if (S.seg_len[s] > 1) more = true;
+        }
+        // fix inf marks (2 -> 1 means "is infinity")
+        // (binf values: 0 live, 2 fresh inf -> set to 1 below)
+        levels_run++;
+        if (na) {
+          total_adds += na;
+          const int nap = (na + 7) & ~7;
+          for (int j = na; j < nap; j++)
+            std::memcpy(S.den.data() + (size_t)j * NL, f.one52,
+                        NL * sizeof(u64));
+          batch_invert52_ifma<NL>(fp, f, S.den.data(), nap, S);
+          const u64 *rp[8];
+          u64 *wp[8], *wyp[8];
+          for (int g0 = 0; g0 < na; g0 += 8) {
+            const int cc = na - g0 < 8 ? na - g0 : 8;
+            V8<NL> ax, ay, bx2, by2, dv, t, lam, x3;
+            for (int k = 0; k < 8; k++) {
+              const int j = g0 + (k < cc ? k : 0);
+              rp[k] = S.bwx.data() + (size_t)S.ja[j] * NL;
+            }
+            mm8_load<NL>(rp, ax);
+            for (int k = 0; k < 8; k++) {
+              const int j = g0 + (k < cc ? k : 0);
+              rp[k] = S.bwy.data() + (size_t)S.ja[j] * NL;
+            }
+            mm8_load<NL>(rp, ay);
+            for (int k = 0; k < 8; k++) {
+              const int j = g0 + (k < cc ? k : 0);
+              rp[k] = S.bwx.data() + (size_t)S.jb[j] * NL;
+            }
+            mm8_load<NL>(rp, bx2);
+            for (int k = 0; k < 8; k++) {
+              const int j = g0 + (k < cc ? k : 0);
+              rp[k] = S.bwy.data() + (size_t)S.jb[j] * NL;
+            }
+            mm8_load<NL>(rp, by2);
+            for (int k = 0; k < 8; k++) {
+              const int j = g0 + (k < cc ? k : 0);
+              rp[k] = S.den.data() + (size_t)j * NL;
+            }
+            mm8_load<NL>(rp, dv);
+            mm8_sub<NL>(f, by2, ay, t);     // y2 - y1
+            mm8_mul<NL>(f, t, dv, lam);
+            mm8_mul<NL>(f, lam, lam, x3);
+            mm8_sub<NL>(f, x3, ax, x3);
+            mm8_sub<NL>(f, x3, bx2, x3);    // x3 = l^2 - x1 - x2
+            mm8_sub<NL>(f, ax, x3, t);      // x1 - x3
+            mm8_mul<NL>(f, lam, t, t);
+            mm8_sub<NL>(f, t, ay, t);       // y3 = l (x1 - x3) - y1
+            for (int k = 0; k < 8; k++) {
+              const int j = g0 + (k < cc ? k : 0);
+              wp[k] = S.bwx.data() + (size_t)S.jo[j] * NL;
+              wyp[k] = S.bwy.data() + (size_t)S.jo[j] * NL;
+            }
+            mm8_store<NL>(x3, wp, cc);
+            mm8_store<NL>(t, wyp, cc);
+          }
+        }
+        if (nd) {
+          // doublings batched + vectorized like the adds — in leader
+          // (fake-network) mode the gathered points are one point
+          // broadcast N ways, so EVERY tree pair is a doubling
+          total_adds += nd;
+          const int ndp = (nd + 7) & ~7;
+          for (int j = nd; j < ndp; j++)
+            std::memcpy(S.dend.data() + (size_t)j * NL, f.one52,
+                        NL * sizeof(u64));
+          batch_invert52_ifma<NL>(fp, f, S.dend.data(), ndp, S);
+          const u64 *rp[8];
+          u64 *wp[8], *wyp[8];
+          for (int g0 = 0; g0 < nd; g0 += 8) {
+            const int cc = nd - g0 < 8 ? nd - g0 : 8;
+            V8<NL> x, y, dv, t, t3, lam, x3;
+            for (int k = 0; k < 8; k++) {
+              const int j = g0 + (k < cc ? k : 0);
+              rp[k] = S.bwx.data() + (size_t)S.jdk[j] * NL;
+            }
+            mm8_load<NL>(rp, x);
+            for (int k = 0; k < 8; k++) {
+              const int j = g0 + (k < cc ? k : 0);
+              rp[k] = S.bwy.data() + (size_t)S.jdk[j] * NL;
+            }
+            mm8_load<NL>(rp, y);
+            for (int k = 0; k < 8; k++) {
+              const int j = g0 + (k < cc ? k : 0);
+              rp[k] = S.dend.data() + (size_t)j * NL;
+            }
+            mm8_load<NL>(rp, dv);
+            mm8_mul<NL>(f, x, x, t);            // x^2
+            mm8_add<NL>(f, t, t, t3);
+            mm8_add<NL>(f, t3, t, t3);          // 3 x^2
+            mm8_mul<NL>(f, t3, dv, lam);
+            mm8_mul<NL>(f, lam, lam, x3);
+            mm8_sub<NL>(f, x3, x, x3);
+            mm8_sub<NL>(f, x3, x, x3);          // x3 = l^2 - 2x
+            mm8_sub<NL>(f, x, x3, t);
+            mm8_mul<NL>(f, lam, t, t);
+            mm8_sub<NL>(f, t, y, t);            // y3 = l (x - x3) - y
+            for (int k = 0; k < 8; k++) {
+              const int j = g0 + (k < cc ? k : 0);
+              wp[k] = S.bwx.data() + (size_t)S.ja[CHUNK - 1 - j] * NL;
+              wyp[k] = S.bwy.data() + (size_t)S.ja[CHUNK - 1 - j] * NL;
+            }
+            mm8_store<NL>(x3, wp, cc);
+            mm8_store<NL>(t, wyp, cc);
+          }
+        }
+      }
+      // survivors -> buckets (merge: a spilled slot may already hold a
+      // partial sum from the previous pass — at most one extra scalar
+      // merge add per spill round)
+      int s = 0;
+      for (int k = k0; k < k1; k++) {
+        const size_t lo = std::max((size_t)starts[k], base);
+        const size_t hi = std::min((size_t)starts[k + 1], base + CHUNK);
+        if (lo >= hi) continue;
+        const uint32_t iv = S.idx[S.seg_start[s]];
+        s++;
+        if (S.binf[iv]) continue;
+        const u64 *sx = S.bwx.data() + (size_t)iv * NL;
+        const u64 *sy = S.bwy.data() + (size_t)iv * NL;
+        u64 *BX = S.bx.data() + (size_t)k * NL;
+        u64 *BY = S.by.data() + (size_t)k * NL;
+        if (!S.occ[k]) {
+          std::memcpy(BX, sx, NL * sizeof(u64));
+          std::memcpy(BY, sy, NL * sizeof(u64));
+          S.occ[k] = 1;
+        } else if (words_eq(BX, sx, NL)) {
+          if (!words_eq(BY, sy, NL) || words_zero(sy, NL)) {
+            S.occ[k] = 0;
+          } else {  // doubling (scalar, negligible)
+            u64 two_y[MAXL52], dinv[MAXL52], t[MAXL52], t3[MAXL52],
+                lam[MAXL52], x3[MAXL52];
+            add52_s(f, BY, BY, two_y);
+            inv52_one(fp, f, two_y, dinv);
+            mont_mul52_s(f, BX, BX, t);
+            add52_s(f, t, t, t3);
+            add52_s(f, t3, t, t3);
+            mont_mul52_s(f, t3, dinv, lam);
+            mont_mul52_s(f, lam, lam, x3);
+            sub52_s(f, x3, BX, x3);
+            sub52_s(f, x3, BX, x3);
+            sub52_s(f, BX, x3, t);
+            mont_mul52_s(f, lam, t, t);
+            sub52_s(f, t, BY, BY);
+            std::memcpy(BX, x3, NL * sizeof(u64));
+          }
+        } else {  // scalar affine merge add into the bucket
+          u64 den1[MAXL52], dinv[MAXL52], t[MAXL52], lam[MAXL52],
+              x3[MAXL52];
+          sub52_s(f, sx, BX, den1);
+          inv52_one(fp, f, den1, dinv);
+          sub52_s(f, sy, BY, t);
+          mont_mul52_s(f, t, dinv, lam);
+          mont_mul52_s(f, lam, lam, x3);
+          sub52_s(f, x3, BX, x3);
+          sub52_s(f, x3, sx, x3);
+          sub52_s(f, BX, x3, t);
+          mont_mul52_s(f, lam, t, t);
+          sub52_s(f, t, BY, BY);
+          std::memcpy(BX, x3, NL * sizeof(u64));
+        }
+      }
+      base += CHUNK;
+      if (base >= starts[k1]) break;  // chunk fully consumed
+    }
+    k0 = k1;
+  }
+
+  auto t2 = tick();
+  // reduce: convert occupied buckets back to the R64/radix-64 domain,
+  // then the scalar Jacobian suffix accumulation + Horner
+  jac_set_inf(fp, out);
+  JacP acc, sum, tmp;
+  std::memcpy(tmp.z, fp.one_m, sizeof(tmp.z));
+  for (int w = Wtot - 1; w >= 0; w--) {
+    if (w != Wtot - 1)
+      for (int b = 0; b < c; b++) jac_double_t<NW>(fp, out, out);
+    jac_set_inf(fp, acc);
+    jac_set_inf(fp, sum);
+    const unsigned char *occ = S.occ.data() + (size_t)w * K2;
+    const size_t base = (size_t)w * K2;
+    for (int k = K2 - 1; k >= 0; k--) {
+      if (occ[k]) {
+        u64 c52[MAXL52];
+        mont_mul52_s(f, S.bx.data() + (base + k) * NL, f.one64_52, c52);
+        from52(c52, NL, NW, tmp.x);
+        mont_mul52_s(f, S.by.data() + (base + k) * NL, f.one64_52, c52);
+        from52(c52, NL, NW, tmp.y);
+        std::memcpy(tmp.z, fp.one_m, sizeof(tmp.z));
+        jac_add_mixed_t<NW>(fp, acc, tmp, acc);
+      }
+      if (!words_zero(acc.z, NW)) jac_add_t<NW>(fp, sum, acc, sum);
+    }
+    jac_add_t<NW>(fp, out, sum, out);
+  }
+  if (stats)
+    std::fprintf(stderr,
+                 "# msm_ifma n=%d c=%d Wtot=%d levels=%d adds=%zu "
+                 "setup=%.1fms tree=%.1fms reduce=%.1fms\n",
+                 n, c, Wtot, levels_run, total_adds, ms(t0, t1), ms(t1, t2),
+                 ms(t2, tick()));
+}
+#endif  // SCZK_HAVE_IFMA
 
 // Convert n Jacobian points to affine (z == 0 -> inf flag).  Points
 // already affine (z == 1 Montgomery — the pre-normalized SRS bases) are
@@ -1007,6 +1870,14 @@ ffi::Error g1_loop_t(const FieldP &f, int32_t mode, int32_t n_in,
       }
       return;
     }
+#ifdef SCZK_HAVE_IFMA
+    if constexpr (NW > 0) {
+      if (g_has_ifma && f.fid >= 0) {
+        msm_one_affine_ifma_t<NW>(f, apts.data(), scal, n_in, nw_s, out, S);
+        return;
+      }
+    }
+#endif
     msm_one_affine_t<NW>(f, apts.data(), scal, n_in, nw_s, out, S);
   };
 
@@ -1150,6 +2021,7 @@ extern "C" {
 void sczk_field_init(int32_t fid, const u64 *p_words, int32_t nw) {
   if (fid < 0 || fid >= MAX_FIELDS || nw <= 0 || nw > MAXW) return;
   FieldP &f = g_fields[fid];
+  f.fid = fid;
   f.nw = nw;
   std::memcpy(f.p, p_words, nw * sizeof(u64));
   // e = p - 2 (p is odd and > 2, so only word 0 can borrow... p[0] >= 1;
@@ -1176,6 +2048,25 @@ void sczk_field_init(int32_t fid, const u64 *p_words, int32_t nw) {
   std::memcpy(r2, f.one_m, sizeof(r2));
   for (int s = 0; s < 64 * nw; s++) add_mod(f, r2, r2, r2);
   mont_mul(f, r2, r2, f.r3);
+
+  // radix-52 domain constants (IFMA path)
+  F52 &f52 = g_f52[fid];
+  const int nl = (64 * nw + 51) / 52;
+  f52.nl = nl;
+  to52(f.p, nw, nl, f52.p52);
+  u64 inv52 = f52.p52[0];
+  for (int k = 0; k < 6; k++) inv52 *= 2 - f52.p52[0] * inv52;
+  f52.n0inv52 = (0 - inv52) & MASK52;
+  auto pow2mod52 = [&](int e, u64 *out52) {
+    u64 a2[MAXW] = {0};
+    a2[0] = 1;
+    for (int s = 0; s < e; s++) add_mod(f, a2, a2, a2);
+    to52(a2, nw, nl, out52);
+  };
+  pow2mod52(52 * nl, f52.one52);
+  pow2mod52(2 * 52 * nl - 64 * nw, f52.c_to52);
+  pow2mod52(64 * nw, f52.one64_52);
+  pow2mod52(3 * 52 * nl, f52.r52fix);
 }
 
 }  // extern "C"
