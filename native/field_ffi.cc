@@ -894,14 +894,13 @@ inline void inv52_one(const FieldP &fp, const F52 &f, const u64 *a, u64 *out) {
 }
 
 #ifdef SCZK_HAVE_IFMA
-// striped 8-lane batch inversion over AoS radix-52 values (R52 domain),
-// in place.  den: [nbp][NL], nbp a multiple of 8, padding slots one52.
+// striped 8-lane batch inversion over AoS radix-52 values (R52 domain).
+// den: [nbp][NL] inputs (left intact), out: [nbp][NL] inverses; nbp a
+// multiple of 8, padding slots one52.  den != out.
 template <int NL>
-void batch_invert52_ifma(const FieldP &fp, const F52 &f, u64 *den, int nbp,
-                         MsmScratch &S) {
+void batch_invert52_ifma(const FieldP &fp, const F52 &f, const u64 *den,
+                         u64 *out, int nbp, MsmScratch &S) {
   const int G = nbp / 8;
-  S.borig.resize((size_t)nbp * NL);
-  std::memcpy(S.borig.data(), den, (size_t)nbp * NL * sizeof(u64));
   S.pre.resize((size_t)nbp * NL);
   V8<NL> run;
   mm8_broadcast<NL>(f.one52, run);
@@ -910,7 +909,7 @@ void batch_invert52_ifma(const FieldP &fp, const F52 &f, u64 *den, int nbp,
   for (int t = 0; t < G; t++) {
     for (int k = 0; k < 8; k++) wp[k] = S.pre.data() + ((size_t)8 * t + k) * NL;
     mm8_store<NL>(run, wp, 8);
-    for (int k = 0; k < 8; k++) rp[k] = S.borig.data() + ((size_t)8 * t + k) * NL;
+    for (int k = 0; k < 8; k++) rp[k] = den + ((size_t)8 * t + k) * NL;
     V8<NL> g;
     mm8_load<NL>(rp, g);
     mm8_mul<NL>(f, run, g, run);
@@ -940,10 +939,10 @@ void batch_invert52_ifma(const FieldP &fp, const F52 &f, u64 *den, int nbp,
     for (int k = 0; k < 8; k++) rp[k] = S.pre.data() + ((size_t)8 * t + k) * NL;
     V8<NL> pg, og, outv;
     mm8_load<NL>(rp, pg);
-    for (int k = 0; k < 8; k++) rp[k] = S.borig.data() + ((size_t)8 * t + k) * NL;
+    for (int k = 0; k < 8; k++) rp[k] = den + ((size_t)8 * t + k) * NL;
     mm8_load<NL>(rp, og);
     mm8_mul<NL>(f, rinv, pg, outv);
-    for (int k = 0; k < 8; k++) wp[k] = den + ((size_t)8 * t + k) * NL;
+    for (int k = 0; k < 8; k++) wp[k] = out + ((size_t)8 * t + k) * NL;
     mm8_store<NL>(outv, wp, 8);
     mm8_mul<NL>(f, rinv, og, rinv);
   }
@@ -1263,6 +1262,7 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
   auto t1 = tick();
   size_t total_adds = 0;
   int levels_run = 0;
+  double inv_ms = 0, apply_ms = 0;
   // counting sort by slot
   S.claimed.assign(G + 1, 0);  // reused as histogram / segment starts
   uint32_t *starts = S.claimed.data();
@@ -1411,11 +1411,15 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
         levels_run++;
         if (na) {
           total_adds += na;
+          auto ta = tick();
           const int nap = (na + 7) & ~7;
           for (int j = na; j < nap; j++)
             std::memcpy(S.den.data() + (size_t)j * NL, f.one52,
                         NL * sizeof(u64));
-          batch_invert52_ifma<NL>(fp, f, S.den.data(), nap, S);
+          S.borig.resize(((size_t)nap) * NL);
+          batch_invert52_ifma<NL>(fp, f, S.den.data(), S.borig.data(), nap, S);
+          if (stats) inv_ms += ms(ta, tick());
+          auto tb = tick();
           const u64 *rp[8];
           u64 *wp[8], *wyp[8];
           for (int g0 = 0; g0 < na; g0 += 8) {
@@ -1443,7 +1447,7 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
             mm8_load<NL>(rp, by2);
             for (int k = 0; k < 8; k++) {
               const int j = g0 + (k < cc ? k : 0);
-              rp[k] = S.den.data() + (size_t)j * NL;
+              rp[k] = S.borig.data() + (size_t)j * NL;
             }
             mm8_load<NL>(rp, dv);
             mm8_sub<NL>(f, by2, ay, t);     // y2 - y1
@@ -1462,6 +1466,7 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
             mm8_store<NL>(x3, wp, cc);
             mm8_store<NL>(t, wyp, cc);
           }
+          if (stats) apply_ms += ms(tb, tick());
         }
         if (nd) {
           // doublings batched + vectorized like the adds — in leader
@@ -1472,7 +1477,8 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
           for (int j = nd; j < ndp; j++)
             std::memcpy(S.dend.data() + (size_t)j * NL, f.one52,
                         NL * sizeof(u64));
-          batch_invert52_ifma<NL>(fp, f, S.dend.data(), ndp, S);
+          S.borig.resize(((size_t)ndp) * NL);
+          batch_invert52_ifma<NL>(fp, f, S.dend.data(), S.borig.data(), ndp, S);
           const u64 *rp[8];
           u64 *wp[8], *wyp[8];
           for (int g0 = 0; g0 < nd; g0 += 8) {
@@ -1490,7 +1496,7 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
             mm8_load<NL>(rp, y);
             for (int k = 0; k < 8; k++) {
               const int j = g0 + (k < cc ? k : 0);
-              rp[k] = S.dend.data() + (size_t)j * NL;
+              rp[k] = S.borig.data() + (size_t)j * NL;
             }
             mm8_load<NL>(rp, dv);
             mm8_mul<NL>(f, x, x, t);            // x^2
@@ -1604,9 +1610,9 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
   if (stats)
     std::fprintf(stderr,
                  "# msm_ifma n=%d c=%d Wtot=%d levels=%d adds=%zu "
-                 "setup=%.1fms tree=%.1fms reduce=%.1fms\n",
+                 "setup=%.1fms tree=%.1fms (inv=%.1f apply=%.1f) reduce=%.1fms\n",
                  n, c, Wtot, levels_run, total_adds, ms(t0, t1), ms(t1, t2),
-                 ms(t2, tick()));
+                 inv_ms, apply_ms, ms(t2, tick()));
 }
 #endif  // SCZK_HAVE_IFMA
 
