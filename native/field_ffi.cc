@@ -1739,6 +1739,50 @@ inline void store_jac(const JacP &p, size_t i, int L, int nw, uint32_t *x,
 
 enum class Op { kMul, kAdd, kSub, kInv };
 
+#ifdef SCZK_HAVE_IFMA
+// 8-lane IFMA elementwise Montgomery multiply.  The radix-52 kernel
+// computes a*b/R52; one extra broadcast multiply by R52^2/R64 converts
+// the result to the library's R64 domain: two vector muls + scalar
+// limb repacks per element, ~1.7x over the scalar CIOS loop.
+template <int NL>
+void mul_loop_ifma(const FieldP &fp, const F52 &f, const uint32_t *pa,
+                   const uint32_t *pb, uint32_t *po, size_t n) {
+  const int nw = fp.nw;
+  const int L = 4 * nw;
+  V8<NL> cfix;
+  mm8_broadcast<NL>(f.c_to52, cfix);
+  u64 tmpa[8][MAXL52], tmpb[8][MAXL52], tmpo[8][MAXL52];
+  const u64 *rpa[8], *rpb[8];
+  u64 *wo[8];
+  for (int k = 0; k < 8; k++) {
+    rpa[k] = tmpa[k];
+    rpb[k] = tmpb[k];
+    wo[k] = tmpo[k];
+  }
+  u64 w64[MAXW];
+  for (size_t i0 = 0; i0 < n; i0 += 8) {
+    const int cnt = n - i0 < 8 ? (int)(n - i0) : 8;
+    for (int k = 0; k < 8; k++) {
+      const size_t i = i0 + (k < cnt ? k : 0);
+      load_el(pa + i * L, nw, w64);
+      to52(w64, nw, NL, tmpa[k]);
+      load_el(pb + i * L, nw, w64);
+      to52(w64, nw, NL, tmpb[k]);
+    }
+    V8<NL> va, vb, vo;
+    mm8_load<NL>(rpa, va);
+    mm8_load<NL>(rpb, vb);
+    mm8_mul<NL>(f, va, vb, vo);   // a b / R52
+    mm8_mul<NL>(f, vo, cfix, vo); // * R52^2/R64 / R52 = a b / R64
+    mm8_store<NL>(vo, wo, 8);
+    for (int k = 0; k < cnt; k++) {
+      from52(tmpo[k], NL, nw, w64);
+      store_el(w64, nw, po + (i0 + k) * L);
+    }
+  }
+}
+#endif  // SCZK_HAVE_IFMA
+
 template <int NW>
 void binary_loop_t(Op op, const FieldP &f, const uint32_t *pa,
                    const uint32_t *pb, uint32_t *po, size_t n) {
@@ -1771,6 +1815,19 @@ ffi::Error binary_op(Op op, int32_t fid, ffi::AnyBuffer a, ffi::AnyBuffer b,
   const uint32_t *pa = reinterpret_cast<const uint32_t *>(a.untyped_data());
   const uint32_t *pb = reinterpret_cast<const uint32_t *>(b.untyped_data());
   uint32_t *po = reinterpret_cast<uint32_t *>(out->untyped_data());
+#ifdef SCZK_HAVE_IFMA
+  if (op == Op::kMul && g_has_ifma && n >= 16) {
+    const F52 &f52 = g_f52[fid];
+    if (f.nw == 4 && f52.nl == 5) {
+      mul_loop_ifma<5>(f, f52, pa, pb, po, n);
+      return ffi::Error::Success();
+    }
+    if (f.nw == 6 && f52.nl == 8) {
+      mul_loop_ifma<8>(f, f52, pa, pb, po, n);
+      return ffi::Error::Success();
+    }
+  }
+#endif
   switch (f.nw) {
     case 4: binary_loop_t<4>(op, f, pa, pb, po, n); break;
     case 6: binary_loop_t<6>(op, f, pa, pb, po, n); break;
