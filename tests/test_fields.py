@@ -74,6 +74,26 @@ def test_batch_inv_zero():
     assert binv[3] == 0
 
 
+@pytest.mark.parametrize("name", ["bls12_381_fr", "bls12_381_fq"])
+def test_large_batch_mul_inv(name):
+    """Large arrays take the vectorized CPU paths (the IFMA 8-lane
+    multiply engages at >= 16 elements; the native inv is a serial
+    Montgomery batch inversion) — pin them to the int oracle, with
+    edge values (0, 1, p-1, p-2) mixed into the batch."""
+    F = get_field(name)
+    n = 1 << 10
+    xs = rand_ints(F, n, 5)
+    ys = rand_ints(F, n, 6)
+    xs[:4] = [0, 1, F.p - 1, F.p - 2]
+    ys[:4] = [F.p - 1, 0, F.p - 1, 1]
+    a, b = F.array_from_ints(xs), F.array_from_ints(ys)
+    mul = F.array_to_ints(jax.jit(F.mul)(a, b))
+    inv = F.array_to_ints(jax.jit(F.batch_inv)(a))
+    for i in range(n):
+        assert mul[i] == xs[i] * ys[i] % F.p
+        assert inv[i] == (pow(xs[i], -1, F.p) if xs[i] else 0)
+
+
 def test_sum_large():
     F = get_field("bls12_381_fr")
     # exercises the chunked column accumulation path (> 2^14 terms)

@@ -46,6 +46,29 @@ def test_msm_matches_oracle(c):
     assert got == host_msm(pts, ss)
 
 
+def test_msm_identical_points():
+    """All-identical input points (what the leader-mode fake network
+    produces when a gathered row is one value broadcast N ways): every
+    pair in the tree-reduce is a DOUBLING, exercising the batched
+    doubling sweep of the native kernel; also mixes P with -P pairs
+    (bucket cancellation) via scalars d and p-d."""
+    n = 160
+    base_k = 0xDEADBEEF12345
+    pt = hc.g1_mul(hc.G1_GEN, base_k)
+    pts = [pt] * n
+    rng = np.random.RandomState(7)
+    ss = [int.from_bytes(rng.bytes(31), "little") % hc.R for _ in range(n)]
+    # a few negated duplicates so signed digits produce +P and -P in
+    # the same bucket
+    ss[10] = hc.R - ss[11]
+    ss[12] = hc.R - ss[12]
+    P = C.from_affine_ints(pts)
+    sarr = jnp.asarray(np.stack([int_to_limbs(s, Fr.L) for s in ss]))
+    r = jax.jit(lambda p, s: msm(C, p, s, c=8))(P, sarr)
+    got = C.to_affine_ints(jax.tree.map(lambda a: a[None], r))[0]
+    assert got == hc.g1_mul(pt, sum(ss) % hc.R)
+
+
 def test_d_msm_on_shares():
     l, M = 2, 8
     pp = PackedSharingParams(Fr, l)
