@@ -328,6 +328,43 @@ def srs_from_secret(curve: Curve, g1_aff, g2_aff, s_ints, n_parties: int = 1):
     )
 
 
+def srs_ugly(curve: Curve, g1_aff, g2_aff, s_ints, party_count: int):
+    """Exact `new_ugly` variant (dpoly_comm.rs:69-113): the first
+    log2(party_count) levels tensor over s[log_party-1], ..., s[0] (the
+    FIRST secrets, consumed in reverse), then the chain continues with
+    the standard factors s[n-i-1] for i >= log_party.
+
+    The result reuses s[0..log_party] at the bottom levels and never
+    consumes the top log_party secrets — so, like the reference's, it is
+    **value-inconsistent by construction** (a d_open against these
+    levels cannot pairing-verify; it exists purely to be size- and
+    cost-faithful for distributed benchmarks).  The honest alternative
+    is ``srs_from_secret(..., n_parties=party_count)``, whose per-party
+    weights + root levels make d_commit/d_open actually verify; its
+    prover work profile is identical (see srs_random's cost-parity
+    note).
+    """
+    n = len(s_ints)
+    r = curve.fr.p
+    log_party = party_count.bit_length() - 1
+    assert party_count == 1 << log_party
+    levels_host = [[g1_aff]]
+    for i in range(n):
+        f = (
+            s_ints[log_party - i - 1] if i < log_party else s_ints[n - i - 1]
+        ) % r
+        prev = levels_host[i]
+        levels_host.append(
+            [hc.g1_mul(pt, (1 - f) % r) for pt in prev]
+            + [hc.g1_mul(pt, f) for pt in prev]
+        )
+    powers_of_g = [curve.from_affine_ints(lv) for lv in levels_host]
+    powers_of_g2 = [g2_aff] + [hc.g2_mul(g2_aff, si % r) for si in s_ints]
+    return PolynomialCommitment(
+        curve, powers_of_g, powers_of_g2, affine=True
+    )
+
+
 def srs_packed(srs: PolynomialCommitment, pp: PackedSharingParams) -> PolynomialCommitment:
     """Pack the SRS points into PSS shares per party (`to_packed`,
     dpoly_comm.rs:164-194).  Levels shorter than l are zero-padded before

@@ -109,3 +109,37 @@ def test_c_commit_c_open(setup):
         assert C.to_affine_ints(pr) == [one_point(proofs[i])] * l
     # 4 rounds: 1 batched d_msm (gather+scatter) + pss2ss (gather+scatter)
     assert net2.rounds == 4
+
+
+def test_srs_ugly_structure():
+    """srs_ugly mirrors new_ugly (dpoly_comm.rs:69-113): the first
+    log_party levels tensor over s[log_party-1-i], the rest continue
+    with s[n-i-1]; every level checked against a direct host tensor."""
+    from scalable_collaborative_zksnark_tpu.primitives.poly_comm import srs_ugly
+
+    C = bls12_381_g1()
+    Fr = get_field("bls12_381_fr")
+    n, party_count = 4, 4
+    log_party = 2
+    s = [11, 22, 33, 44]
+    srs = srs_ugly(C, hc.G1_GEN, hc.G2_GEN, s, party_count)
+    # reproduce the factor schedule on the host
+    levels = [[hc.G1_GEN]]
+    for i in range(n):
+        f = s[log_party - i - 1] if i < log_party else s[n - i - 1]
+        prev = levels[i]
+        levels.append(
+            [hc.g1_mul(p, (1 - f) % Fr.p) for p in prev]
+            + [hc.g1_mul(p, f) for p in prev]
+        )
+    for k in range(n + 1):
+        got = C.to_affine_ints(srs.powers_of_g[k])
+        assert got == levels[k], k
+    # the bottom log_party levels coincide with an honest SRS whose
+    # trailing secrets are s[0..log_party] (the reuse the reference's
+    # variant is "ugly" for)
+    honest = srs_from_secret(C, hc.G1_GEN, hc.G2_GEN, s)
+    assert C.to_affine_ints(srs.powers_of_g[1]) != C.to_affine_ints(
+        honest.powers_of_g[1]
+    )  # value-inconsistent with the plain chain by construction
+    assert len(srs.powers_of_g2) == n + 1
