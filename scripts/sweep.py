@@ -59,6 +59,36 @@ def run_one(suite: str, n: int, l: int, mode: str):
         t0 = time.perf_counter()
         barrier(step(f, g, ch))
         dt = time.perf_counter() - t0
+    elif suite == "pss":
+        # criterion parity (dist-primitive/benches/pss.rs): pack/unpack
+        # of field vectors and G1 points at the given l; n = log2(#secrets)
+        from scalable_collaborative_zksnark_tpu.curves import host_curve as hc
+        from scalable_collaborative_zksnark_tpu.curves.g1 import bls12_381_g1
+        from scalable_collaborative_zksnark_tpu.fields.fr import get_field
+        from scalable_collaborative_zksnark_tpu.pss.pss import PackedSharingParams
+
+        F = get_field("bls12_381_fr")
+        pp = PackedSharingParams(F, l)
+        M = 1 << n
+        sec = F.random((M // l, l, F.L), 1)
+        pack = jax.jit(pp.pack_from_public)
+        unpack = jax.jit(pp.unpack)
+        sh = pack(sec)
+        barrier(unpack(sh))
+        t0 = time.perf_counter()
+        barrier(unpack(pack(sec)))
+        dt_f = time.perf_counter() - t0
+        curve = bls12_381_g1()
+        pts = curve.from_affine_ints([hc.G1_GEN] * min(M, 256))
+        ptc = jax.tree.map(lambda a: a.reshape(-1, l, a.shape[-1]), pts)
+        gsh = pp.pack_from_public_group(curve, ptc)
+        barrier(pp.unpack_group(curve, gsh))
+        t0 = time.perf_counter()
+        barrier(pp.unpack_group(curve, pp.pack_from_public_group(curve, ptc)))
+        dt = time.perf_counter() - t0
+        print(f"# pss l={l} n={n}: field pack+unpack {dt_f:.4f}s, "
+              f"G1 pack+unpack ({min(M,256)} pts) {dt:.4f}s", file=sys.stderr)
+        return dt_f, 0, 0
     elif suite == "poly_comm":
         from scalable_collaborative_zksnark_tpu.curves.g1 import bls12_381_g1
         from scalable_collaborative_zksnark_tpu.primitives.poly_comm import (
@@ -87,7 +117,7 @@ def run_one(suite: str, n: int, l: int, mode: str):
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--suite", choices=("hyperplonk", "sumcheck", "poly_comm"),
+    ap.add_argument("--suite", choices=("hyperplonk", "sumcheck", "poly_comm", "pss"),
                     default="sumcheck")
     ap.add_argument("--l", type=int, nargs="+", default=[2])
     ap.add_argument("--n", type=int, nargs="+", default=[10])
