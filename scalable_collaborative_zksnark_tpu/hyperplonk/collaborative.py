@@ -32,7 +32,6 @@ cost differs by < N^2/(2lS).
 
 from __future__ import annotations
 
-import functools
 from typing import List
 
 import jax
@@ -417,15 +416,11 @@ def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
     if os.environ.get("SCZK_SYNC_PHASES"):
         # profiling mode: force device completion at phase boundaries so
         # the timed() spans report real device time (dispatch is async
-        # and block_until_ready is unreliable over the remote tunnel)
-        _sync = jax.jit(
-            lambda o: functools.reduce(
-                lambda a, b: a + b.ravel()[0].astype(jnp.uint32),
-                jax.tree.leaves(o),
-                jnp.uint32(0),
-            )
-        )
-        barrier = lambda o: jax.device_get(_sync(o))
+        # and block_until_ready is unreliable over the remote tunnel).
+        # benchlib.barrier's checksum jit is module-level, so its
+        # executables cache across proves (a per-call jit re-compiled
+        # the checksum graphs every run and inflated the spans ~5x).
+        from ..utils.benchlib import barrier
     else:
         barrier = lambda o: o
 
