@@ -31,6 +31,7 @@
 #include <algorithm>
 #include <atomic>
 #include <chrono>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -1175,6 +1176,23 @@ inline void msm_one_affine_t(const FieldP &f, const AffP *pts, const u64 *scal,
   }
 }
 
+// r += g * a for a small positive integer g (double-and-add over the
+// ~log2(K2) bits of a bucket-index gap)
+template <int NW>
+inline void jac_add_scaled_t(const FieldP &f, JacP &r, const JacP &a, uint32_t g) {
+  if (g == 1) {
+    jac_add_t<NW>(f, r, a, r);
+    return;
+  }
+  JacP acc;
+  jac_set_inf(f, acc);
+  for (int b = 31 - __builtin_clz(g); b >= 0; b--) {
+    jac_double_t<NW>(f, acc, acc);
+    if ((g >> b) & 1) jac_add_t<NW>(f, acc, a, acc);
+  }
+  jac_add_t<NW>(f, r, acc, r);
+}
+
 #ifdef SCZK_HAVE_IFMA
 // IFMA variant of the batched-affine MSM: identical wave/bucket scheme,
 // but all bucket arithmetic runs in radix-52 / R52 form with the data
@@ -1187,13 +1205,17 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
   constexpr int NL = (64 * NW + 51) / 52;
   const F52 &f = g_f52[fp.fid];
   const int nbits = nw_s * 64;
-  // cost model in fq-mul units: vectorized data add ~1.2, reduce ~31
+  // cost model in fq-mul units: vectorized data adds ~3 (measured
+  // ~0.28 us incl. transposes/scan); the jumped reduce costs ~45 per
+  // OCCUPIED bucket (mixed add + gap double-and-add + full add), with
+  // expected occupancy K2 (1 - exp(-n/K2)) per window
   int c = 2;
   double best = 1e300;
   for (int cc = 2; cc <= MSM_MAX_C; cc++) {
     const double W = (nbits + cc - 1) / cc + 1;
-    const double cost =
-        W * ((double)n * 1.2 + (double)(1 << (cc - 1)) * 31.0 + cc * 8.0);
+    const double K2d = (double)(1 << (cc - 1));
+    const double occd = K2d * (1.0 - std::exp(-(double)n / K2d));
+    const double cost = W * ((double)n * 3.0 + occd * 45.0 + cc * 8.0);
     if (cost < best) { best = cost; c = cc; }
   }
   const int Wtot = (nbits + c - 1) / c + 1;
@@ -1581,8 +1603,13 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
   }
 
   auto t2 = tick();
-  // reduce: convert occupied buckets back to the R64/radix-64 domain,
-  // then the scalar Jacobian suffix accumulation + Horner
+  // reduce: sum_k (k+1) B_k per window with a run-length-JUMPED suffix
+  // scan — only occupied buckets are visited; the running suffix sum is
+  // weighted by the gap to the next occupied bucket with one small
+  // double-and-add (gap <= K2).  255-bit scalars spread n entries over
+  // ~n/ (256/c) per window, so small MSMs have mostly-empty windows and
+  // the dense K2-step scan (2 Jacobian adds per slot, occupied or not)
+  // dominated their cost.  Buckets convert back to R64/radix-64 here.
   jac_set_inf(fp, out);
   JacP acc, sum, tmp;
   std::memcpy(tmp.z, fp.one_m, sizeof(tmp.z));
@@ -1593,19 +1620,24 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
     jac_set_inf(fp, sum);
     const unsigned char *occ = S.occ.data() + (size_t)w * K2;
     const size_t base = (size_t)w * K2;
+    int pending_k = -1;  // occupied index whose suffix span is open
     for (int k = K2 - 1; k >= 0; k--) {
-      if (occ[k]) {
-        u64 c52[MAXL52];
-        mont_mul52_s(f, S.bx.data() + (base + k) * NL, f.one64_52, c52);
-        from52(c52, NL, NW, tmp.x);
-        mont_mul52_s(f, S.by.data() + (base + k) * NL, f.one64_52, c52);
-        from52(c52, NL, NW, tmp.y);
-        std::memcpy(tmp.z, fp.one_m, sizeof(tmp.z));
-        jac_add_mixed_t<NW>(fp, acc, tmp, acc);
-      }
-      if (!words_zero(acc.z, NW)) jac_add_t<NW>(fp, sum, acc, sum);
+      if (!occ[k]) continue;
+      if (pending_k >= 0)
+        jac_add_scaled_t<NW>(fp, sum, acc, (uint32_t)(pending_k - k));
+      u64 c52[MAXL52];
+      mont_mul52_s(f, S.bx.data() + (base + k) * NL, f.one64_52, c52);
+      from52(c52, NL, NW, tmp.x);
+      mont_mul52_s(f, S.by.data() + (base + k) * NL, f.one64_52, c52);
+      from52(c52, NL, NW, tmp.y);
+      std::memcpy(tmp.z, fp.one_m, sizeof(tmp.z));
+      jac_add_mixed_t<NW>(fp, acc, tmp, acc);
+      pending_k = k;
     }
-    jac_add_t<NW>(fp, out, sum, out);
+    if (pending_k >= 0) {
+      jac_add_scaled_t<NW>(fp, sum, acc, (uint32_t)(pending_k + 1));
+      jac_add_t<NW>(fp, out, sum, out);
+    }
   }
   if (stats)
     std::fprintf(stderr,
