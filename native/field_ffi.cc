@@ -1157,7 +1157,7 @@ inline void msm_one_affine_t(const FieldP &f, const AffP *pts, const u64 *scal,
   jac_set_inf(f, out);
   JacP acc, sum, tmp;
   for (int w = Wtot - 1; w >= 0; w--) {
-    if (w != Wtot - 1)
+    if (w != Wtot - 1 && !words_zero(out.z, fw<NW>(f)))
       for (int b = 0; b < c; b++) jac_double_t<NW>(f, out, out);
     jac_set_inf(f, acc);
     jac_set_inf(f, sum);
@@ -1614,7 +1614,7 @@ inline void msm_one_affine_ifma_t(const FieldP &fp, const AffP *pts,
   JacP acc, sum, tmp;
   std::memcpy(tmp.z, fp.one_m, sizeof(tmp.z));
   for (int w = Wtot - 1; w >= 0; w--) {
-    if (w != Wtot - 1)
+    if (w != Wtot - 1 && !words_zero(out.z, NW))
       for (int b = 0; b < c; b++) jac_double_t<NW>(fp, out, out);
     jac_set_inf(fp, acc);
     jac_set_inf(fp, sum);
