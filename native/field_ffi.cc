@@ -635,7 +635,10 @@ inline void mm8_broadcast(const u64 *v, V8<NL> &o) {
 
 bool g_has_ifma = [] {
 #ifdef SCZK_HAVE_IFMA
-  return __builtin_cpu_supports("avx512ifma") != 0;
+  // SCZK_NO_IFMA forces the scalar radix-64 fallback (testing parity
+  // with non-IFMA hosts)
+  return std::getenv("SCZK_NO_IFMA") == nullptr &&
+         __builtin_cpu_supports("avx512ifma") != 0;
 #else
   return false;
 #endif
