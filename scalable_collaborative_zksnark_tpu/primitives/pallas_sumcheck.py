@@ -47,7 +47,11 @@ def _phase_kernel(f_ref, g_ref, ch_ref, p_ref, msg_ref, ff_ref, gf_ref, *,
     mul = lambda a, b: mul_t(a, b, p_np, n0inv, L, p_col=p_col)
     add = lambda a, b: add_t(a, b, p_np, L)
     sub = lambda a, b: sub_t(a, b, p_np, L)
-    rsum = lambda a: jnp.sum(a, axis=1, keepdims=True)  # [L, 1]
+    # Mosaic cannot lower unsigned reductions; sums fit int32 exactly
+    # (limbs < 2^16 over <= 2^15 elements < 2^31).
+    rsum = lambda a: jnp.sum(
+        a.astype(jnp.int32), axis=1, keepdims=True
+    ).astype(jnp.uint32)  # [L, 1]
 
     cur_f = f_ref[0]
     cur_g = g_ref[0]
