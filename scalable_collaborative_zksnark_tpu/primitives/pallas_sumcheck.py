@@ -42,7 +42,20 @@ def _phase_kernel(f_ref, g_ref, ch_ref, p_ref, msg_ref, ff_ref, gf_ref, *,
     f_ref/g_ref: [1, L, M]; ch_ref: [L, R]; msg_ref: [1, L, 3*R] raw
     column sums (limbs on sublanes); ff_ref/gf_ref: [1, L, 1] folded
     final values.
+
+    Two regimes per round (real-TPU layout constraint): while the fold
+    half is >= 128 lanes, lo/hi are tile-aligned lane slices and the
+    table physically halves.  Below one 128-lane tile, a lane slice
+    ``t[:, half:]`` carries a non-zero lane offset in its Mosaic layout
+    and any later concat/pad against an offset-0 value is rejected
+    ("result/input offset mismatch on non-concat dimension" — the
+    round-2 bench crash).  The tail rounds therefore keep the table at
+    a FULL 128-lane tile: hi comes from ``pltpu.roll`` (offset-0
+    result), partial sums mask the dead lanes, and folds write the
+    whole tile (lanes >= half hold garbage that is never read).
     """
+    from jax.experimental.pallas import tpu as pltpu
+
     p_col = p_ref[:]
     mul = lambda a, b: mul_t(a, b, p_np, n0inv, L, p_col=p_col)
     add = lambda a, b: add_t(a, b, p_np, L)
@@ -55,25 +68,49 @@ def _phase_kernel(f_ref, g_ref, ch_ref, p_ref, msg_ref, ff_ref, gf_ref, *,
 
     cur_f = f_ref[0]
     cur_g = g_ref[0]
+    lw = cur_f.shape[1]  # logical width (= physical until the tail)
     rows = []
     for r in range(R):
-        half = cur_f.shape[1] // 2
-        lof, hif = cur_f[:, :half], cur_f[:, half:]
-        log, hig = cur_g[:, :half], cur_g[:, half:]
-        t0 = rsum(mul(lof, log))  # exact u32 column sums
-        t1 = rsum(mul(hif, hig))
-        df = sub(hif, lof)
-        dg = sub(hig, log)
-        ef = add(hif, df)  # 2*hi - lo (dsumcheck.rs:60)
-        eg = add(hig, dg)
-        t2 = rsum(mul(ef, eg))
-        rows.extend([t0, t1, t2])
-        ch = jnp.broadcast_to(ch_ref[:, r : r + 1], (L, half))
-        cur_f = add(lof, mul(ch, df))
-        cur_g = add(log, mul(ch, dg))
+        half = lw // 2
+        if half >= 128:
+            lof, hif = cur_f[:, :half], cur_f[:, half:]
+            log, hig = cur_g[:, :half], cur_g[:, half:]
+            t0 = rsum(mul(lof, log))  # exact u32 column sums
+            t1 = rsum(mul(hif, hig))
+            df = sub(hif, lof)
+            dg = sub(hig, log)
+            ef = add(hif, df)  # 2*hi - lo (dsumcheck.rs:60)
+            eg = add(hig, dg)
+            t2 = rsum(mul(ef, eg))
+            rows.extend([t0, t1, t2])
+            ch = jnp.broadcast_to(ch_ref[:, r : r + 1], (L, half))
+            cur_f = add(lof, mul(ch, df))
+            cur_g = add(log, mul(ch, dg))
+        else:
+            W = cur_f.shape[1]  # 128: one full lane tile
+            lane = jax.lax.broadcasted_iota(jnp.int32, (L, W), 1)
+            live = lane < half
+            msum = lambda a: jnp.sum(
+                jnp.where(live, a.astype(jnp.int32), 0), axis=1, keepdims=True
+            ).astype(jnp.uint32)
+            lof, log = cur_f, cur_g
+            hif = pltpu.roll(cur_f, W - half, 1)  # == roll(x, -half)
+            hig = pltpu.roll(cur_g, W - half, 1)
+            t0 = msum(mul(lof, log))
+            t1 = msum(mul(hif, hig))
+            df = sub(hif, lof)
+            dg = sub(hig, log)
+            ef = add(hif, df)
+            eg = add(hig, dg)
+            t2 = msum(mul(ef, eg))
+            rows.extend([t0, t1, t2])
+            ch = jnp.broadcast_to(ch_ref[:, r : r + 1], (L, W))
+            cur_f = add(lof, mul(ch, df))
+            cur_g = add(log, mul(ch, dg))
+        lw = half
     msg_ref[0] = jnp.concatenate(rows, axis=1)  # [L, 3*R]
-    ff_ref[0] = cur_f
-    gf_ref[0] = cur_g
+    ff_ref[0] = cur_f[:, :1]
+    gf_ref[0] = cur_g[:, :1]
 
 
 @functools.lru_cache(maxsize=None)
@@ -104,6 +141,10 @@ def _phase_call(spec_name: str, m: int, R: int, B: int):
             pl.BlockSpec((1, L, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
+        # both tables + ~10 live [L, M] intermediates exceed the 16 MiB
+        # default scoped-vmem budget at M = 2^15 (measured 23.3 MiB);
+        # v5e has 128 MiB VMEM — let the kernel use most of it
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )
 
