@@ -480,6 +480,17 @@ class Field:
         carry_el = jnp.zeros(limbs.shape, jnp.uint32).at[..., 0].set(carry)
         # carry * 2^(16L) mod p  ==  mont_mul(carry, R^2) = carry * R mod p
         carry_contrib = self.mul(carry_el, jnp.asarray(self._r2_np))
+        # value(limbs) < 2^(16L) = R, which exceeds 2p (R/p ~ 2.2 for Fr,
+        # ~9.8 for Fq): a single conditional subtract is NOT enough.
+        # Ladder down with p << s (shifts whose subtrahend still fits in
+        # 16L bits; larger ones can never trigger since value < 2^(16L)).
+        R = 1 << (LIMB_BITS * self.L)
+        for s in range((R // self.p).bit_length() - 1, 0, -1):
+            if (self.p << s) < R:
+                diff, borrow = self._sub_limbs(
+                    limbs, int_to_limbs(self.p << s, self.L)
+                )
+                limbs = jnp.where((borrow == 0)[..., None], diff, limbs)
         limbs = self._cond_sub_p(limbs, jnp.zeros_like(carry))
         return self.add(limbs, carry_contrib)
 

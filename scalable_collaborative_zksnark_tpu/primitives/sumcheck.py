@@ -54,6 +54,11 @@ def _fold(F: Field, x, ch):
 
 def _rounds_single(F: Field, cur, challenges, start, count):
     """Fold ``count`` rounds; returns (messages [count, ..., 2, L], cur)."""
+    from . import mxu_sumcheck as msc
+
+    if count > 0 and msc.available():
+        # MXU path: per-round sums and folds as int8 matmuls (mxu.py)
+        return msc.single_phase(F, cur, challenges, start, count)
     msgs = []
     for i in range(count):
         lo, hi = _halves(cur)
@@ -70,9 +75,15 @@ def _rounds_product(F: Field, cur_f, cur_g, challenges, start, count):
     On TPU a full fold (count == log2(M)) runs as ONE fused Pallas
     kernel — both tables VMEM-resident for all rounds, ~6 launches +
     HBM round-trips per round collapsed into one (VERDICT item 2)."""
+    from . import mxu_sumcheck as msc
     from . import pallas_sumcheck as psc
 
     M = cur_f.shape[-2]
+    if count > 0 and msc.available():
+        # MXU path first choice on TPU: partial sums contract the eval
+        # axis on the systolic array; folds are shared-scalar matmuls.
+        # Handles any count / any M (dot_red splits big batches).
+        return msc.product_phase(F, cur_f, cur_g, challenges, start, count)
     if count == M.bit_length() - 1 and count > 0 and psc.supported(M):
         return psc.product_phase(F, cur_f, cur_g, challenges, start)
     if (
