@@ -226,6 +226,8 @@ def _msm_1d(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int,
     executable caches per shape."""
     if scalars_std.shape[0] <= NAIVE_MAX:
         return curve.sum(curve.scalar_mul(points, scalars_std), axis=0)
+    if _dense_enabled():
+        return _msm_1d_dense(curve, points, scalars_std, c, affine=affine)
     return _msm_1d_buckets(curve, points, scalars_std, c, affine=affine)
 
 
@@ -278,6 +280,200 @@ def _msm_1d_segscan(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
         comb, curve.infinity(()), jax.tree.map(lambda a: jnp.flip(a, 0), g_ws)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dense segmented-scan bucket accumulation
+#
+# The while-loop schedule above runs max-bucket-load iterations over a
+# [W, K] lane grid, so lane utilization is mean/max bucket load — fine
+# for one large MSM (~70%), catastrophic for the ragged opening chains
+# (every segment idles until the LARGEST chunk's worst bucket drains;
+# measured ~5% at the flagship c_open, 7.4 s of the 22 s prove).  The
+# dense schedule below does EXACTLY E = sum_k N_k * W point-adds at
+# ~100% lane occupancy, independent of bucket skew:
+#
+#   1. flatten all (window, entry) pairs into ONE globally sorted list
+#      (key = segment<<c | digit, window-major — already sorted per
+#      window, so the flat list is sorted);
+#   2. split the list into T equal runs (lanes); a lax.scan does one
+#      masked mixed-add per step over all T lanes — each lane serially
+#      accumulates its run, resetting at key changes (E/T steps);
+#   3. a log2(T)-step segmented scan over lane summaries produces the
+#      carry for segments that span lane boundaries;
+#   4.每 bucket sum = scanned value at its end position (+ lane carry
+#      when the bucket started before the lane) — pure gathers.
+# ---------------------------------------------------------------------------
+DENSE_LANES = 8192
+"""Lanes of the dense accumulation scan: E/T steps of one [T]-wide
+mixed add.  8192 keeps the VPU tile full ([L, 8192] = 64 vregs) while
+the scan depth stays ~E/8192."""
+
+
+def _dense_bucket_sums(curve: Curve, pts_flat: PointJ, keys: jnp.ndarray,
+                       ends_g: jnp.ndarray, starts_g: jnp.ndarray,
+                       lens: jnp.ndarray, T: int = DENSE_LANES):
+    """Bucket sums from a globally key-sorted entry list.
+
+    ``pts_flat``: PointJ [E] (affine, z in {0,1});  ``keys``: [E] uint32
+    sorted ascending;  ``ends_g``/``starts_g``/``lens``: [NB] global end
+    (exclusive) / start positions and lengths per bucket.  Returns
+    PointJ [NB] — the sum of entries of each bucket (infinity if empty).
+    """
+    E = keys.shape[0]
+    T = min(T, E)
+    steps = -(-E // T)
+    pad = steps * T - E
+    sentinel = jnp.uint32(0xFFFFFFFF)
+    if pad:
+        keys = jnp.concatenate([keys, jnp.full((pad,), sentinel, jnp.uint32)])
+        inf = curve.infinity((pad,))
+        pts_flat = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], 0), pts_flat, inf
+        )
+    # lane t owns global entries [t*steps, (t+1)*steps): reshape to
+    # [T, steps] then step-major [steps, T] for the scan
+    keys_lt = keys.reshape(T, steps).T  # [steps, T]
+    pts_lt = jax.tree.map(
+        lambda a: a.reshape(T, steps, a.shape[-1]).swapaxes(0, 1), pts_flat
+    )
+
+    acc0 = curve.infinity((T,))
+    prev0 = jnp.full((T,), sentinel, jnp.uint32)
+
+    def body(carry, x):
+        acc, prev = carry
+        k, p = x
+        summed = curve.add_mixed(acc, PointJ(*p))
+        acc2 = curve.select(k == prev, summed, PointJ(*p))
+        return (acc2, k), acc2
+
+    (_, _), scanned = jax.lax.scan(
+        body, (acc0, prev0), (keys_lt, tuple(pts_lt))
+    )  # scanned: PointJ [steps, T]
+
+    # lane summaries: trailing-segment sum + whether the lane is uniform
+    first_key = keys_lt[0]  # [T]
+    last_key = keys_lt[-1]
+    last_val = jax.tree.map(lambda a: a[-1], scanned)  # PointJ [T]
+    whole = first_key == last_key
+
+    # inclusive segmented scan over lanes (Hillis-Steele, log2(T) adds):
+    # state (val = trailing-run sum, first_key, whole)
+    idx = jnp.arange(T)
+    val, fk, wh = PointJ(*last_val), first_key, whole
+
+    def cross(step, state):
+        # Hillis-Steele over the block monoid (val = trailing-run sum,
+        # fk = block first key, wh = block is key-uniform); a block's
+        # LAST key always equals its rightmost lane's own last_key, so
+        # the static ``last_key`` array is correct at every distance.
+        val, fk, wh = state
+        sh = jnp.int32(1) << step
+        val_l = jax.tree.map(lambda a: jnp.roll(a, sh, 0), val)
+        fk_l = jnp.roll(fk, sh, 0)
+        lk_l = jnp.roll(last_key, sh, 0)
+        wh_l = jnp.roll(wh, sh, 0)
+        ok = idx >= sh
+        # right block's trailing run extends into the left block iff the
+        # right block is uniform and the keys meet at the boundary
+        join = jnp.logical_and(ok, jnp.logical_and(wh, lk_l == fk))
+        val2 = curve.select(join, curve.add(val, PointJ(*val_l)), val)
+        fk2 = jnp.where(join, fk_l, fk)
+        wh2 = jnp.where(ok, jnp.logical_and(join, wh_l), wh)
+        return val2, fk2, wh2
+
+    steps_T = max((T - 1).bit_length(), 1)
+    val, fk, wh = jax.lax.fori_loop(0, steps_T, cross, (val, fk, wh))
+    run_sum = val  # [T] inclusive trailing-run sums
+
+    # bucket extraction: value at end-1 (+ previous-lane run carry when
+    # the bucket spans the lane boundary)
+    e = jnp.maximum(ends_g.astype(jnp.int32) - 1, 0)
+    lane = e // steps
+    pos = e % steps
+    gat = lambda a: a[pos, lane]
+    v_end = PointJ(
+        gat(scanned.x), gat(scanned.y), gat(scanned.z)
+    )
+    prev_lane = jnp.maximum(lane - 1, 0)
+    carry = jax.tree.map(lambda a: a[prev_lane], run_sum)
+    lane_first = first_key[lane]
+    key_e = keys[jnp.minimum(e, E - 1)]
+    need_carry = jnp.logical_and(
+        jnp.logical_and(lane > 0, starts_g.astype(jnp.int32) < lane * steps),
+        jnp.logical_and(
+            last_key[prev_lane] == key_e, lane_first == key_e
+        ),
+    )
+    total = curve.select(
+        need_carry, curve.add(v_end, PointJ(*carry)), v_end
+    )
+    return curve.select(lens > 0, total, curve.infinity(lens.shape))
+
+
+def _dense_enabled() -> bool:
+    import os
+
+    flag = os.environ.get("SCZK_MSM_DENSE")
+    if flag is not None:
+        return flag != "0"
+    return True
+
+
+def _msm_1d_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
+                  c: int, affine: bool = False) -> PointJ:
+    """Windowed Pippenger with dense segmented-scan accumulation."""
+    N = scalars_std.shape[-2]
+    nbits = scalars_std.shape[-1] * LIMB_BITS
+    W = (nbits + c - 1) // c
+    K = 1 << c
+    aff = points if affine else curve.normalize(points)
+
+    ws = jnp.arange(W, dtype=jnp.uint32)
+    digits = jax.vmap(lambda w: _digit(scalars_std, c, w))(ws)  # [W, N]
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (W, N))
+    sorted_d, sorted_i = jax.lax.sort_key_val(digits, iota, dimension=1)
+    ks = jnp.arange(K, dtype=jnp.uint32)
+    starts = jax.vmap(
+        lambda sd: jnp.searchsorted(sd, ks, side="left")
+    )(sorted_d).astype(jnp.int32)  # [W, K]
+    ends = jax.vmap(
+        lambda sd: jnp.searchsorted(sd, ks, side="right")
+    )(sorted_d).astype(jnp.int32)
+    lens = ends - starts
+    lens = lens.at[:, 0].set(0)  # digit 0 contributes nothing
+
+    # global flat layout: entry (w, j) -> w*N + j;  key = w*K + digit
+    keys = (sorted_d + ws[:, None] * jnp.uint32(K)).reshape(-1)
+    pid = sorted_i.reshape(-1).astype(jnp.int32)
+    pts_flat = jax.tree.map(lambda a: jnp.take(a, pid, axis=0), aff)
+    offs = (ws[:, None].astype(jnp.int32) * N)
+    acc = _dense_bucket_sums(
+        curve,
+        pts_flat,
+        keys,
+        (ends + offs).reshape(-1),
+        (starts + offs).reshape(-1),
+        lens.reshape(-1),
+    )  # [W*K]
+    acc = jax.tree.map(lambda a: a.reshape(W, K, -1), acc)
+
+    rev = jax.tree.map(lambda a: a[:, ::-1], acc)
+    pref = _prefix_scan_axis1(curve, rev)
+    suff = jax.tree.map(lambda a: a[:, : K - 1], pref)
+    totals = curve.sum(suff, axis=1)  # [W]
+
+    rev_tot = jax.tree.map(lambda a: a[::-1], totals)
+
+    def horner(res, tot):
+        for _ in range(c):
+            res = curve.double(res)
+        return curve.add(res, PointJ(*tot)), None
+
+    res0 = curve.infinity(())
+    res, _ = jax.lax.scan(horner, res0, tuple(rev_tot))
+    return res
 
 
 MIN_MSM_SIZE = 32
@@ -388,6 +584,20 @@ def _pick_c(max_size: int) -> int:
     return 4
 
 
+def _pick_c_dense(total_n: int, n_segments: int, nbits: int = 256) -> int:
+    """Window size for the dense-scan ragged core by explicit cost model:
+    accumulation does W * total_n mixed adds; the weighted bucket reduce
+    does ~1.3 * W * n_segments * 2^c * c full adds (suffix prefix-scan).
+    With many small segments the reduce dominates unless c shrinks."""
+    best_c, best_cost = 4, None
+    for c in (2, 3, 4, 5, 6, 8):
+        W = -(-nbits // c)
+        cost = W * total_n + 1.3 * W * n_segments * (1 << c) * c
+        if best_cost is None or cost < best_cost:
+            best_c, best_cost = c, cost
+    return best_c
+
+
 def _chunk_plan(sizes, chunk):
     """Static chunk decomposition: (chunk_sizes, seg_of_chunk) tuples."""
     chunk_sizes, seg_of_chunk = [], []
@@ -468,6 +678,67 @@ def _msm_ragged_core(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
     return res
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _msm_ragged_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
+                      sizes: tuple, c: int, affine: bool) -> PointJ:
+    """Segmented MSM with dense-scan accumulation: no chunking, and the
+    scan depth is E/T regardless of segment-size skew (the while-loop
+    core idles every small segment until the largest one's worst bucket
+    drains — measured ~5% lane utilization on the flagship c_open)."""
+    N = scalars_std.shape[0]
+    K = 1 << c
+    C = len(sizes)
+    nbits = scalars_std.shape[-1] * LIMB_BITS
+    W = (nbits + c - 1) // c
+    aff = points if affine else curve.normalize(points)
+
+    seg_id = np.repeat(
+        np.arange(C, dtype=np.uint32), np.asarray(sizes, dtype=np.int64)
+    )
+    ws = jnp.arange(W, dtype=jnp.uint32)
+    digits = jax.vmap(lambda w: _digit(scalars_std, c, w))(ws)  # [W, N]
+    key = jnp.asarray(seg_id)[None, :] * jnp.uint32(K) + digits
+    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (W, N))
+    sorted_k, sorted_i = jax.lax.sort_key_val(key, iota, dimension=1)
+    ks = jnp.arange(C * K, dtype=jnp.uint32)
+    starts = jax.vmap(
+        lambda sk: jnp.searchsorted(sk, ks, side="left")
+    )(sorted_k).astype(jnp.int32)  # [W, C*K]
+    ends = jax.vmap(
+        lambda sk: jnp.searchsorted(sk, ks, side="right")
+    )(sorted_k).astype(jnp.int32)
+    lens = ends - starts
+    lens = jnp.where((ks % K == 0)[None, :], 0, lens)
+
+    keys_flat = (sorted_k + ws[:, None] * jnp.uint32(C * K)).reshape(-1)
+    pid = sorted_i.reshape(-1).astype(jnp.int32)
+    pts_flat = jax.tree.map(lambda a: jnp.take(a, pid, axis=0), aff)
+    offs = ws[:, None].astype(jnp.int32) * N
+    acc = _dense_bucket_sums(
+        curve,
+        pts_flat,
+        keys_flat,
+        (ends + offs).reshape(-1),
+        (starts + offs).reshape(-1),
+        lens.reshape(-1),
+    )
+    acc = jax.tree.map(lambda a: a.reshape(W, C, K, -1)[:, :, ::-1], acc)
+    pref = _prefix_scan_axis1(curve, acc, axis=2)
+    suff = jax.tree.map(lambda a: a[:, :, : K - 1], pref)
+    totals = curve.sum(suff, axis=2)  # [W, C]
+
+    rev_tot = jax.tree.map(lambda a: a[::-1], totals)
+
+    def horner(res, tot):
+        for _ in range(c):
+            res = curve.double(res)
+        return curve.add(res, PointJ(*tot)), None
+
+    res0 = curve.infinity((C,))
+    res, _ = jax.lax.scan(horner, res0, tuple(rev_tot))
+    return res
+
+
 def msm_ragged(curve: Curve, bases_list, scalars_list, c: int | None = None,
                affine: bool = False, chunk: int | None = 4096):
     """MSM over a ragged batch in ONE bucket pass.
@@ -502,10 +773,19 @@ def msm_ragged(curve: Curve, bases_list, scalars_list, c: int | None = None,
         sizes += [n_i] * Bn  # batch-major segments per entry
     points = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *pts_flat)
     scal = jnp.concatenate(sc_flat, 0)
-    if c is None:
-        c = _pick_c(max(sizes))
-    chunk_sizes, seg_of_chunk = _chunk_plan(tuple(sizes), chunk)
-    res = _msm_ragged_core(curve, points, scal, chunk_sizes, c, affine)
+    if _dense_enabled():
+        if c is None:
+            c = _pick_c_dense(
+                sum(sizes), len(sizes), scal.shape[-1] * LIMB_BITS
+            )
+        chunk_sizes = tuple(sizes)
+        seg_of_chunk = tuple(range(len(sizes)))
+        res = _msm_ragged_dense(curve, points, scal, chunk_sizes, c, affine)
+    else:
+        if c is None:
+            c = _pick_c(max(sizes))
+        chunk_sizes, seg_of_chunk = _chunk_plan(tuple(sizes), chunk)
+        res = _msm_ragged_core(curve, points, scal, chunk_sizes, c, affine)
 
     # chunk -> segment partial sums (host-unrolled; chunk counts are tiny)
     seg_results = []

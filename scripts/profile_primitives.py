@@ -70,8 +70,13 @@ def main() -> None:
     pp = pk.pp
     gc = 1 << n
     P = net.local_parties
+    from scalable_collaborative_zksnark_tpu.hyperplonk.collaborative import (
+        _exchange_s,
+    )
+
     local_s_p = F.random((P, gc * 4 // net.n), 63)
-    s_shares = F.random((P, gc // pp.l), 64)
+    local_s = F.random((P, gc * 4 // net.n // pp.l), 64)
+    s_shares = _exchange_s(F, net, local_s)
     num, den, h_p = _num_den_h(
         F, local_s_p, pk.sid_p, pk.eq_r1_p, pk.ssigma_p, pk.alpha, pk.beta
     )

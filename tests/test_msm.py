@@ -180,3 +180,54 @@ def test_msm_ragged_vs_oracle():
         for b in range(B):
             want = host_msm(host_bases[ent], host_scals[ent][b])
             assert got[b] == want, (ent, b)
+
+
+def test_dense_msm_vs_oracle():
+    """The dense segmented-scan Pippenger must match the native oracle,
+    including zero scalars, infinity inputs, duplicates, and a worst-case
+    bucket-skew scalar set (all equal -> one bucket per window)."""
+    from scalable_collaborative_zksnark_tpu.primitives.msm import _msm_1d_dense
+    from scalable_collaborative_zksnark_tpu import native as no
+
+    if not no.available():
+        pytest.skip("native oracle unavailable")
+    cv = bls12_381_g1()
+    F = cv.fr
+    N = 280
+    ks = [(5 * i * i + 11) % F.p for i in range(1, N + 1)]
+    host_pts = [no.g1_mul(hc.G1_GEN, k) for k in ks]
+    host_pts[3] = None
+    host_pts[9] = host_pts[10]
+    pts = cv.from_affine_ints(host_pts)
+    si = [(13 * i * i * i + 7) % F.p for i in range(N)]
+    si[5] = 0
+    skew = si[:]  # every scalar identical: max bucket load == N
+    skew[2:] = [si[1]] * (N - 2)
+    for scalars in (si, skew):
+        scal = jnp.asarray(
+            np.stack(
+                [
+                    np.array(
+                        [(s >> (16 * j)) & 0xFFFF for j in range(F.L)], np.uint32
+                    )
+                    for s in scalars
+                ]
+            )
+        )
+        want = no.g1_msm(
+            [p for p in host_pts if p is not None],
+            [s for p, s in zip(host_pts, scalars) if p is not None],
+        )
+        for c in (8, 4):
+            r = jax.jit(
+                lambda p, s, _c=c: _msm_1d_dense(cv, p, s, _c)
+            )(pts, scal)
+            got = cv.to_affine_ints(jax.tree.map(lambda a: a[None], r))[0]
+            assert got == want, (c, scalars is skew)
+
+
+def test_msm_ragged_chunked_core_vs_oracle(monkeypatch):
+    """The while-loop chunked core stays as a cross-check oracle; force
+    it via SCZK_MSM_DENSE=0 and re-run the ragged conformance case."""
+    monkeypatch.setenv("SCZK_MSM_DENSE", "0")
+    test_msm_ragged_vs_oracle()
