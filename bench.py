@@ -92,6 +92,12 @@ def main() -> None:
     )
 
     enable_compile_cache(Path(__file__).resolve().parent / ".jax_cache")
+    # benchmark SRS points are seeded-random and size-faithful only;
+    # reusing them across processes skips minutes of per-process setup
+    os.environ.setdefault(
+        "SCZK_SRS_CACHE",
+        str(Path(__file__).resolve().parent / ".jax_cache" / "srs"),
+    )
 
     from scalable_collaborative_zksnark_tpu.hyperplonk import (
         dhyperplonk,

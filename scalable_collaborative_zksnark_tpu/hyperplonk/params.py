@@ -18,7 +18,9 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..curves.g1 import Curve, bls12_381_g1
 from ..fields.fr import Field
@@ -200,6 +202,10 @@ def packed_proving_parameters(
     ssigma = r((P, gc * 4 // l), 2)
 
     if srs is None:
+        cached = _load_srs_cache(curve, n, pp, seed)
+        if cached is not None:
+            srs = cached
+    if srs is None:
         # c: `new_single` (random packed levels, identical across parties,
         # dpoly_comm.rs:197-219); d: `new_random` (levels capped at
         # n+2-log2(N), dpoly_comm.rs:220-233) + root levels for d_open.
@@ -210,6 +216,7 @@ def packed_proving_parameters(
         # past the reference's own SRS (it only benches n >= 16).
         d_srs = srs_random(curve, n + 2, seed + 23, n_parties=pp.n,
                            max_level=max(n + 2 - s_bits, s_bits))
+        _save_srs_cache(curve, n, pp, seed, c_srs, d_srs)
     else:
         c_srs, d_srs = srs["c"], srs["d"]
 
@@ -254,3 +261,100 @@ def packed_proving_parameters(
         unmask2=r((P, gc * 4 // l), 27),
         reduce_target=r((P, max(gc // l // l, 1)), 28),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-SRS disk cache (opt-in via SCZK_SRS_CACHE=<dir>)
+#
+# The random benchmark SRS (srs_random) costs minutes of device compile +
+# generation per process at n = 16+ over the remote-TPU tunnel; its only
+# contract is size/cost-faithfulness (dpoly_comm.rs:115-233), so reusing
+# the same seeded points across processes is exact.  Honest SRS objects
+# (srs_from_secret / explicit ``srs=``) are never cached.
+# ---------------------------------------------------------------------------
+def _srs_cache_path(curve, n, pp, seed):
+    import os
+    from pathlib import Path
+
+    d = os.environ.get("SCZK_SRS_CACHE")
+    if not d:
+        return None
+    return (
+        Path(d)
+        / f"srs_v1_{curve.name}_n{n}_N{pp.n}_l{pp.l}_s{seed}.pkl"
+    )
+
+
+def _pc_fields_host(pc):
+    import dataclasses as dc
+
+    f = {k: v for k, v in dc.asdict(pc).items() if k != "curve"}
+    return jax.tree.map(
+        lambda a: np.asarray(jax.device_get(a)) if hasattr(a, "dtype") else a, f
+    )
+
+
+def _load_srs_cache(curve, n, pp, seed):
+    import pickle
+
+    path = _srs_cache_path(curve, n, pp, seed)
+    if path is None or not path.exists():
+        return None
+    try:
+        with open(path, "rb") as fh:
+            blob = pickle.load(fh)
+    except Exception:
+        return None
+
+    def rebuild(fields):
+        from ..curves.g1 import PointJ
+        from ..primitives.poly_comm import PolynomialCommitment
+
+        dev = jax.tree.map(
+            lambda a: (
+                jnp.asarray(a)
+                if isinstance(a, np.ndarray) and a.dtype != object
+                else a  # object arrays = host-int party weights
+            ),
+            fields,
+        )
+
+        def pj(x):
+            # dataclasses.asdict lowered PointJ namedtuples to tuples of
+            # arrays at save time; jax.tree preserved the tuple shape
+            if isinstance(x, (list, tuple)) and len(x) == 3 and all(
+                hasattr(c, "dtype") for c in x
+            ):
+                return PointJ(*x)
+            if isinstance(x, list):
+                return [pj(v) for v in x]
+            if isinstance(x, dict):
+                return {k: pj(v) for k, v in x.items()}
+            return x
+
+        return PolynomialCommitment(
+            curve=curve,
+            powers_of_g=pj(dev["powers_of_g"]),
+            powers_of_g2=dev["powers_of_g2"],
+            party_weights=dev["party_weights"],
+            root_levels=pj(dev["root_levels"]),
+            packed_powers=pj(dev["packed_powers"]),
+            affine=dev["affine"],
+        )
+
+    return {"c": rebuild(blob["c"]), "d": rebuild(blob["d"])}
+
+
+def _save_srs_cache(curve, n, pp, seed, c_srs, d_srs):
+    import pickle
+
+    path = _srs_cache_path(curve, n, pp, seed)
+    if path is None:
+        return
+    try:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        blob = {"c": _pc_fields_host(c_srs), "d": _pc_fields_host(d_srs)}
+        with open(path, "wb") as fh:
+            pickle.dump(blob, fh, protocol=4)
+    except Exception:  # cache is best-effort
+        pass
