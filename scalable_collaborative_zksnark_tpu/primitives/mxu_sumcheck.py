@@ -63,7 +63,7 @@ def product_phase(F, evals_f: jnp.ndarray, evals_g: jnp.ndarray,
     R = M.bit_length() - 1 if count is None else count
     cur_f = mxu.to_red(evals_f)
     cur_g = mxu.to_red(evals_g)
-    msgs = []
+    raw = []  # per-round (t0, t1, t2) in redundant form
     for r in range(R):
         lof, hif = _halves(cur_f)
         log_, hig = _halves(cur_g)
@@ -74,16 +74,32 @@ def product_phase(F, evals_f: jnp.ndarray, evals_g: jnp.ndarray,
         ef = add_red(hif, df)  # 2*hi - lo  (dsumcheck.rs:60)
         eg = add_red(hig, dg)
         t2 = dot_red(spec, ef, eg)
-        msgs.append(
-            jnp.stack(
-                [canon(spec, F, t) for t in (t0, t1, t2)], axis=-2
-            )
-        )
+        raw.append((t0, t1, t2))
         ch = challenges[start + r]
         m_c = _fold_matrix(F, ch, df.bound, df.W)
         cur_f = add_red(lof, mul_shared(spec, df, m_c))
         cur_g = add_red(log_, mul_shared(spec, dg, m_c))
+    msgs = _canon_rows(F, raw) if R else []
     return msgs, canon(spec, F, cur_f), canon(spec, F, cur_g)
+
+
+def _canon_rows(F, raw):
+    """Canonicalize ALL round messages with ONE canon call.
+
+    canon unrolls ~2.5k HLO ops (ripple chains); calling it per message
+    per round made one phase compile for ~15 min on the TPU.  Stacking
+    the (same-width) redundant messages first costs one canon total."""
+    spec = F.spec
+    k = len(raw[0])
+    flat = [t for tup in raw for t in tup]
+    W = max(t.W for t in flat)
+    bound = max(t.bound for t in flat)
+    arr = jnp.stack([mxu._pad_w(t.arr, W) for t in flat], axis=0)
+    limbs = canon(spec, F, Red(arr, bound))  # [R*k, ..., L]
+    return [
+        jnp.stack([limbs[i * k + j] for j in range(k)], axis=-2)
+        for i in range(len(raw))
+    ]
 
 
 def single_phase(F, evals: jnp.ndarray, challenges: jnp.ndarray,
@@ -95,17 +111,14 @@ def single_phase(F, evals: jnp.ndarray, challenges: jnp.ndarray,
     M = evals.shape[-2]
     R = M.bit_length() - 1 if count is None else count
     cur = mxu.to_red(evals)
-    msgs = []
+    raw = []
     for r in range(R):
         lo, hi = _halves(cur)
-        s0 = sum_red(spec, lo)
-        s1 = sum_red(spec, hi)
-        msgs.append(
-            jnp.stack([canon(spec, F, s0), canon(spec, F, s1)], axis=-2)
-        )
+        raw.append((sum_red(spec, lo), sum_red(spec, hi)))
         ch = challenges[start + r]
         d = sub_red(spec, hi, lo)
         m_c = _fold_matrix(F, ch, d.bound, d.W)
         cur = add_red(lo, mul_shared(spec, d, m_c))
+    msgs = _canon_rows(F, raw) if R else []
     fin = canon(spec, F, cur)
     return msgs, fin
