@@ -393,13 +393,14 @@ def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
                     n, pk_merge(pk, ar), net, ls_p, ss, c
                 )
             ),
-            # ONE executable for the whole layered loop: the halving
-            # shapes unroll inside a single graph (total work ~2x the
-            # first layer), replacing round 1's one-executable-per-layer
-            # scheme (n - log N compiles, VERDICT weak #2)
-            "wire_b": jax.jit(
-                lambda ar, v1, v0, vx: _wire_part_b(
-                    n, pk_merge(pk, ar), net, v1, v0, vx, c
+            # per-LAYER executable (jit caches one per halving shape):
+            # the single whole-loop graph, with the dense-scan MSMs in
+            # every layer's d_open, exceeded the remote compile
+            # service's response cap ("response body closed" crash);
+            # layer graphs compile in seconds each and disk-cache
+            "wire_b_layer": jax.jit(
+                lambda ar, v1, v0, vx, eq, ch: _zerocheck_layer(
+                    pk_merge(pk, ar), net, v1, v0, vx, eq, ch, c
                 )
             ),
             "wire_c": jax.jit(
@@ -441,7 +442,12 @@ def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
                     )
                     barrier(wo)
                 with timed("wire layers"):
-                    pb, ob = fns["wire_b"](arrays, v1x, vx0, vx1)
+                    pb, ob = _wire_part_b(
+                        n, pk, net, v1x, vx0, vx1, c,
+                        layer_fn=lambda v1, v0, vx, eq, ch: fns[
+                            "wire_b_layer"
+                        ](arrays, v1, v0, vx, eq, ch),
+                    )
                     barrier(ob)
                 wp.extend(pb)
                 wo.extend(ob)
