@@ -268,6 +268,18 @@ class Curve:
             return PointJ(x, y, z)
         return self.select(valid, self.add_mixed(p1, p2), p1)
 
+    def add_mixed_reset(self, p1: PointJ, p2: PointJ, same) -> PointJ:
+        """same ? p1 + p2(mixed) : p2 — the dense-MSM segment step
+        (one fused kernel on TPU; msm.py::_dense_bucket_sums)."""
+        pg = self._pallas()
+        if pg is not None:
+            x, y, z = pg.point_op(
+                "add_reset", self.fq.spec.name,
+                (p1.x, p1.y, p1.z, p2.x, p2.y, p2.z), mask=same,
+            )
+            return PointJ(x, y, z)
+        return self.select(same, self.add_mixed(p1, p2), p2)
+
     def normalize(self, pt: PointJ) -> PointJ:
         """Jacobian -> affine-or-infinity (z ∈ {0, 1}), batched.
 

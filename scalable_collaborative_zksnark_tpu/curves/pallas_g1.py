@@ -145,6 +145,25 @@ def _add_masked_kernel(x1, y1, z1, x2, y2, z2, m, p_ref, ox, oy, oz, *,
     oz[:] = out[2]
 
 
+def _add_reset_kernel(x1, y1, z1, x2, y2, z2, m, p_ref, ox, oy, oz, *,
+                      p_np, n0inv, L, r_np):
+    """acc <- same ? acc + P2(mixed) : P2 — the dense-MSM scan step
+    (msm.py::_dense_bucket_sums): one kernel fuses the segment-reset
+    select that previously cost a separate 6-array HBM pass."""
+    one_rows = jnp.stack(
+        [jnp.full_like(x1[0, :], r_np[j]) for j in range(L)], axis=0
+    )
+    X3, Y3, Z3 = _add_t(
+        x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], p_np, n0inv, L, one_rows,
+        True, p_ref[:],
+    )
+    same = m[:][0] > 0  # [M]
+    out = _select_t(same, (X3, Y3, Z3), (x2[:], y2[:], z2[:]))
+    ox[:] = out[0]
+    oy[:] = out[1]
+    oz[:] = out[2]
+
+
 def _double_kernel(x1, y1, z1, p_ref, ox, oy, oz, *, p_np, n0inv, L):
     X3, Y3, Z3 = _double_t(x1[:], y1[:], z1[:], p_np, n0inv, L, p_ref[:])
     ox[:] = X3
@@ -170,9 +189,10 @@ def _point_call(op: str, fq_name: str, m: int):
     if op == "double":
         kern = functools.partial(_double_kernel, p_np=p_np, n0inv=n0inv, L=L)
         specs = [coord] * 3 + [pspec]
-    elif op == "add_masked":
+    elif op in ("add_masked", "add_reset"):
         kern = functools.partial(
-            _add_masked_kernel, p_np=p_np, n0inv=n0inv, L=L, r_np=r_np
+            _add_masked_kernel if op == "add_masked" else _add_reset_kernel,
+            p_np=p_np, n0inv=n0inv, L=L, r_np=r_np,
         )
         specs = [coord] * 6 + [
             pl.BlockSpec((1, bm), lambda i: (0, i), memory_space=pltpu.VMEM),

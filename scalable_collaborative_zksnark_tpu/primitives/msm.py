@@ -344,8 +344,7 @@ def _dense_bucket_sums(curve: Curve, pts_flat: PointJ, keys: jnp.ndarray,
     def body(carry, x):
         acc, prev = carry
         k, p = x
-        summed = curve.add_mixed(acc, PointJ(*p))
-        acc2 = curve.select(k == prev, summed, PointJ(*p))
+        acc2 = curve.add_mixed_reset(acc, PointJ(*p), k == prev)
         return (acc2, k), acc2
 
     (_, _), scanned = jax.lax.scan(

@@ -82,6 +82,13 @@ def enable_compile_cache(default_dir: str | Path) -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # benchmark-SRS disk cache rides along: stable SRS values are ALSO
+    # what makes the phase executables' cache keys stable across
+    # processes (the SRS levels are embedded as jaxpr constants)
+    if cache_dir and cache_dir != "0":
+        os.environ.setdefault(
+            "SCZK_SRS_CACHE", str(Path(cache_dir) / "srs")
+        )
 
 
 @functools.cache

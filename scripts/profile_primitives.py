@@ -126,6 +126,22 @@ def main() -> None:
             _dsum_ch(net, pk.challenge_r2),
         ),
     }
+    # one layered-zerocheck layer at representative halving sizes
+    from scalable_collaborative_zksnark_tpu.hyperplonk.collaborative import (
+        _zerocheck_layer,
+    )
+
+    M0 = gc * 4 // net.n // 2
+    for sz in (M0, M0 // 4, M0 // 16):
+        v1 = F.random((P, sz), 70 + sz)
+        v0 = F.random((P, sz), 71 + sz)
+        vx = F.random((P, sz), 72 + sz)
+        eqv = F.random((P, sz), 73 + sz)
+        steps[f"zc_layer_{sz}"] = (
+            lambda v1=v1, v0=v0, vx=vx, eqv=eqv: _zerocheck_layer(
+                pk, net, v1, v0, vx, eqv, pk.challenge_r2[1:], c
+            )
+        )
     only = [s for s in args.only.split(",") if s]
     for name, fn in steps.items():
         if only and name not in only:

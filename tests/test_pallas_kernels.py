@@ -172,3 +172,19 @@ def test_sumcheck_peel_then_fuse(interpret_mode, monkeypatch):
     monkeypatch.setenv("SCZK_NO_PALLAS", "1")
     ref = sumcheck_product(F, f, g, ch)
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_add_reset_kernel_vs_oracle(interpret_mode):
+    """The dense-MSM scan step kernel: same ? acc + P2(mixed) : P2."""
+    if not no.available():
+        pytest.skip("native oracle unavailable")
+    from scalable_collaborative_zksnark_tpu.curves.pallas_g1 import point_op
+
+    cv = bls12_381_g1()
+    h1, p1, h2, p2 = _case_points(cv)
+    want_add = [no.g1_add(a, b) for a, b in zip(h1, h2)]
+    same = jnp.asarray([1, 0, 1, 0, 1, 0, 1, 0, 1], jnp.uint32)
+    x, y, z = point_op("add_reset", cv.fq.spec.name, (*p1, *p2), mask=same)
+    got = cv.to_affine_ints(PointJ(x, y, z))
+    want = [w if m else b for b, w, m in zip(h2, want_add, same.tolist())]
+    assert got == want
