@@ -280,6 +280,24 @@ class Curve:
             return PointJ(x, y, z)
         return self.select(same, self.add_mixed(p1, p2), p2)
 
+    def add_mixed_reset_lazy(self, p1: PointJ, p2: PointJ, same):
+        """(same ? p1 + p2 : p2, dbl_flag) without the doubling branch.
+
+        Flagged lanes (x-collision while accumulating — probability
+        ~2^-255 for distinct random points) carry garbage; the caller
+        repairs them under a lax.cond that almost never runs.  The
+        non-pallas fallback computes the complete add (flag all-False).
+        """
+        pg = self._pallas()
+        if pg is not None:
+            x, y, z, flag = pg.point_op(
+                "add_reset_lazy", self.fq.spec.name,
+                (p1.x, p1.y, p1.z, p2.x, p2.y, p2.z), mask=same,
+            )
+            return PointJ(x, y, z), flag
+        out = self.select(same, self.add_mixed(p1, p2), p2)
+        return out, jnp.zeros(out.x.shape[:-1], bool)
+
     def normalize(self, pt: PointJ) -> PointJ:
         """Jacobian -> affine-or-infinity (z ∈ {0, 1}), batched.
 

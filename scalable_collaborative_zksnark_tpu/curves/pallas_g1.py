@@ -64,8 +64,15 @@ def _select_t(cond_m, a, b):
     return tuple(jnp.where(c, u, v) for u, v in zip(a, b))
 
 
-def _add_t(X1, Y1, Z1, X2, Y2, Z2, p_np, n0inv, L, one_rows, mixed, p_col):
-    """General or mixed (Z2 in {0,1}) complete add on tiles."""
+def _add_t(X1, Y1, Z1, X2, Y2, Z2, p_np, n0inv, L, one_rows, mixed, p_col,
+           skip_dbl=False):
+    """General or mixed (Z2 in {0,1}) complete add on tiles.
+
+    ``skip_dbl``: omit the ~8-mul doubling branch and return the is_dbl
+    lane mask instead — x-collision doublings are ~2^-255-rare in
+    protocol MSMs (random distinct points), so the dense-MSM scan fixes
+    flagged lanes in a lax.cond that almost never executes
+    (msm.py::_dense_bucket_sums).  Returns ((X, Y, Z), is_dbl)."""
     mul = lambda a, b: mul_t(a, b, p_np, n0inv, L, p_col=p_col)
     add = lambda a, b: add_t(a, b, p_np, L)
     sub = lambda a, b: sub_t(a, b, p_np, L)
@@ -104,12 +111,17 @@ def _add_t(X1, Y1, Z1, X2, Y2, Z2, p_np, n0inv, L, one_rows, mixed, p_col):
     is_dbl = jnp.logical_and(same_x, r_zero)
     is_cancel = jnp.logical_and(same_x, jnp.logical_not(r_zero))
 
-    dX, dY, dZ = _double_t(X1, Y1, Z1, p_np, n0inv, L, p_col)
     zero = jnp.zeros_like(X3)
-    out = _select_t(is_dbl, (dX, dY, dZ), (X3, Y3, Z3))
+    if skip_dbl:
+        out = (X3, Y3, Z3)
+    else:
+        dX, dY, dZ = _double_t(X1, Y1, Z1, p_np, n0inv, L, p_col)
+        out = _select_t(is_dbl, (dX, dY, dZ), (X3, Y3, Z3))
     out = _select_t(is_cancel, (zero, one_rows, zero), out)
     out = _select_t(inf2, (X1, Y1, Z1), out)
     out = _select_t(inf1, (X2, Y2, Z2), out)
+    if skip_dbl:
+        return out, is_dbl
     return out
 
 
@@ -164,6 +176,26 @@ def _add_reset_kernel(x1, y1, z1, x2, y2, z2, m, p_ref, ox, oy, oz, *,
     oz[:] = out[2]
 
 
+def _add_reset_lazy_kernel(x1, y1, z1, x2, y2, z2, m, p_ref, ox, oy, oz,
+                           of, *, p_np, n0inv, L, r_np):
+    """add_reset without the in-kernel doubling branch: flagged lanes
+    (x-collision while accumulating) carry garbage that the caller
+    repairs in a rarely-executed lax.cond (see _add_t skip_dbl)."""
+    one_rows = jnp.stack(
+        [jnp.full_like(x1[0, :], r_np[j]) for j in range(L)], axis=0
+    )
+    (X3, Y3, Z3), is_dbl = _add_t(
+        x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], p_np, n0inv, L, one_rows,
+        True, p_ref[:], skip_dbl=True,
+    )
+    same = m[:][0] > 0  # [M]
+    out = _select_t(same, (X3, Y3, Z3), (x2[:], y2[:], z2[:]))
+    ox[:] = out[0]
+    oy[:] = out[1]
+    oz[:] = out[2]
+    of[:] = jnp.logical_and(is_dbl, same)[None, :].astype(jnp.uint32)
+
+
 def _double_kernel(x1, y1, z1, p_ref, ox, oy, oz, *, p_np, n0inv, L):
     X3, Y3, Z3 = _double_t(x1[:], y1[:], z1[:], p_np, n0inv, L, p_ref[:])
     ox[:] = X3
@@ -189,10 +221,14 @@ def _point_call(op: str, fq_name: str, m: int):
     if op == "double":
         kern = functools.partial(_double_kernel, p_np=p_np, n0inv=n0inv, L=L)
         specs = [coord] * 3 + [pspec]
-    elif op in ("add_masked", "add_reset"):
+    elif op in ("add_masked", "add_reset", "add_reset_lazy"):
+        kerns = {
+            "add_masked": _add_masked_kernel,
+            "add_reset": _add_reset_kernel,
+            "add_reset_lazy": _add_reset_lazy_kernel,
+        }
         kern = functools.partial(
-            _add_masked_kernel if op == "add_masked" else _add_reset_kernel,
-            p_np=p_np, n0inv=n0inv, L=L, r_np=r_np,
+            kerns[op], p_np=p_np, n0inv=n0inv, L=L, r_np=r_np
         )
         specs = [coord] * 6 + [
             pl.BlockSpec((1, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -206,12 +242,19 @@ def _point_call(op: str, fq_name: str, m: int):
         specs = [coord] * 6 + [pspec]
     from ..fields.pallas_fr import _interpret
 
+    out_shape = [jax.ShapeDtypeStruct((L, m), jnp.uint32)] * 3
+    out_specs = [coord] * 3
+    if op == "add_reset_lazy":  # extra lane-flag output
+        out_shape = out_shape + [jax.ShapeDtypeStruct((1, m), jnp.uint32)]
+        out_specs = out_specs + [
+            pl.BlockSpec((1, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ]
     return pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((L, m), jnp.uint32)] * 3,
+        out_shape=out_shape,
         grid=(grid,),
         in_specs=specs,
-        out_specs=[coord] * 3,
+        out_specs=out_specs,
         interpret=_interpret(),
     )
 
@@ -264,4 +307,8 @@ def point_op(op: str, fq_name: str, coords, mask=None):
         tiles = tiles + [mk]
     p_col = jnp.asarray(FIELDS[fq_name].p_limbs, dtype=jnp.uint32).reshape(L, 1)
     out = _point_call(op, fq_name, tiles[0].shape[1])(*tiles, p_col)
+    if op == "add_reset_lazy":
+        coords_out = _from_tiles(out[:3], m, shape)
+        flag = out[3][0, :m].reshape(shape[:-1]) > 0
+        return coords_out + (flag,)
     return _from_tiles(out, m, shape)

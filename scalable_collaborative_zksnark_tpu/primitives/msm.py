@@ -321,6 +321,12 @@ def _dense_bucket_sums(curve: Curve, pts_flat: PointJ, keys: jnp.ndarray,
     PointJ [NB] — the sum of entries of each bucket (infinity if empty).
     """
     E = keys.shape[0]
+    # adapt the lane count: the cross-lane segmented scan costs ~log2(T)
+    # full adds on T lanes regardless of E — for small workloads that
+    # fixed cost dominated the per-layer zerocheck opens.  Keep lanes
+    # at most ~E/32 (scan depth >= 32 steps) but no fewer than 512.
+    if E < 32 * T:
+        T = max(512, 1 << max(E // 32, 1).bit_length() - 1)
     T = min(T, E)
     steps = -(-E // T)
     pad = steps * T - E
@@ -344,7 +350,15 @@ def _dense_bucket_sums(curve: Curve, pts_flat: PointJ, keys: jnp.ndarray,
     def body(carry, x):
         acc, prev = carry
         k, p = x
-        acc2 = curve.add_mixed_reset(acc, PointJ(*p), k == prev)
+        acc2, flag = curve.add_mixed_reset_lazy(acc, PointJ(*p), k == prev)
+        # x-collision doublings are ~2^-255-rare for distinct points;
+        # the repair branch compiles once and essentially never runs
+        acc2 = jax.lax.cond(
+            jnp.any(flag),
+            lambda a, o, f: curve.select(f, curve.double(a), o),
+            lambda a, o, f: o,
+            acc, acc2, flag,
+        )
         return (acc2, k), acc2
 
     (_, _), scanned = jax.lax.scan(
@@ -535,6 +549,24 @@ def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8,
         points = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=-2), points, inf
         )
+        N = N + padn
+    if _dense_enabled() and N > NAIVE_MAX:
+        # batched MSM as equal segments of the flat dense core: the core
+        # is scan-based and vmap would both serialize its lanes and turn
+        # the rare-collision lax.cond into an always-executed select
+        batch = scalars_std.shape[:-2]
+        Bn = int(np.prod(batch, dtype=np.int64)) if batch else 1
+        pb = points.x.shape[:-2]
+        pts = jax.tree.map(
+            lambda a: jnp.broadcast_to(
+                a.reshape(pb + (1,) * (len(batch) - len(pb)) + a.shape[-2:]),
+                batch + a.shape[-2:],
+            ).reshape(Bn * N, a.shape[-1]),
+            points,
+        )
+        sc = scalars_std.reshape(Bn * N, scalars_std.shape[-1])
+        res = _msm_ragged_dense(curve, pts, sc, (N,) * Bn, c, affine)
+        return jax.tree.map(lambda a: a.reshape(batch + a.shape[-1:]), res)
     return _msm_batched(curve, points, scalars_std, c, affine)
 
 

@@ -231,3 +231,33 @@ def test_msm_ragged_chunked_core_vs_oracle(monkeypatch):
     it via SCZK_MSM_DENSE=0 and re-run the ragged conformance case."""
     monkeypatch.setenv("SCZK_MSM_DENSE", "0")
     test_msm_ragged_vs_oracle()
+
+
+def test_msm_batched_dense_vs_oracle():
+    """Batched msm() on the dense path (batch dims lowered to equal
+    segments of the flat core, not vmap)."""
+    from unittest import mock
+
+    cv = bls12_381_g1()
+    F = cv.fr
+    rng = np.random.RandomState(11)
+    B, N = 3, 40
+    ks = [int.from_bytes(rng.bytes(31), "little") % hc.R for _ in range(N)]
+    host_pts = [hc.g1_mul(hc.G1_GEN, k) for k in ks]
+    P = cv.from_affine_ints(host_pts)
+    Pb = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (B,) + a.shape), P)
+    ss = [[int.from_bytes(rng.bytes(31), "little") % hc.R for _ in range(N)]
+          for _ in range(B)]
+    scal = jnp.asarray(
+        np.stack([np.stack([int_to_limbs(s, F.L) for s in row]) for row in ss])
+    )
+    with mock.patch.object(type(cv), "_ffi", lambda self: None):
+        # N=40 > MIN_MSM_SIZE(32) but <= NAIVE_MAX: force the dense
+        # branch by lowering NAIVE_MAX for the call
+        import scalable_collaborative_zksnark_tpu.primitives.msm as msm_mod
+
+        with mock.patch.object(msm_mod, "NAIVE_MAX", 16):
+            out = msm(cv, Pb, scal, c=4)
+    got = cv.to_affine_ints(out)
+    for b in range(B):
+        assert got[b] == host_msm(host_pts, ss[b]), b
