@@ -202,6 +202,78 @@ class PolynomialCommitment:
         out = jax.tree.map(lambda a: jnp.broadcast_to(a[None], (net.n,) + a.shape), total)
         return net.scatter_from_root(out, "g1", count=B, vec=B > 1)
 
+    def d_open_many(self, net: PartyNet, items, c: int = 8):
+        """k distributed opens with TWO fused MSM passes total.
+
+        ``items``: list of (peval [P, B..., 2^m, L], point [n, L]) pairs
+        sharing the same leading batch shape.  Byte counting and outputs
+        are identical to k separate :meth:`d_open` calls, but all local
+        q-vectors go through ONE ragged dense MSM and all root q-vectors
+        through a second — the per-call fixed costs (sort, cross-lane
+        scan, reduce) dominated the per-layer zerocheck opens."""
+        F = self.curve.fr
+        s = net.n.bit_length() - 1
+        plans = []
+        bases_all, qs_all = [], []
+        for peval, point in items:
+            m = peval.shape[-2].bit_length() - 1
+            B = int(np.prod(peval.shape[1:-2], dtype=np.int64))
+            qs, local_z = self._fold_q(peval, point, s)
+            plans.append((point, m, B, local_z, len(qs)))
+            bases_all.extend(
+                self.powers_of_g[q.shape[-2].bit_length() - 1] for q in qs
+            )
+            qs_all.extend(F.decode(q) for q in qs)
+        pis_flat = msm_ragged(self.curve, bases_all, qs_all, affine=self.affine)
+
+        from ..mpc.net import VEC_PREFIX
+
+        outs = []
+        k = 0
+        root_jobs = []
+        for point, m, B, local_z, nq in plans:
+            pis = pis_flat[k : k + nq]
+            k += nq
+            local_pis = [self._scale_by_weights(net, pi, m + s) for pi in pis]
+            net._count_gather(
+                B * (net.payload_bytes("fr", 1) + VEC_PREFIX
+                     + net.payload_bytes("g1", m))
+            )
+            zg = net.gather_data_only(local_z)
+            pig = [net.gather_data_only(pi) for pi in local_pis]
+            summed = [self.curve.sum(p_, axis=0) for p_ in pig]
+            cur = jnp.moveaxis(zg, 0, -2)
+            root_qs = []
+            for j in range(s):
+                half = cur.shape[-2] // 2
+                lo, hi = cur[..., :half, :], cur[..., half:, :]
+                q = F.sub(hi, lo)
+                root_qs.append(q)
+                cur = F.add(lo, F.mul(point[j], q))
+            rl = self._root_levels_for(m + s)
+            root_jobs.append(
+                (
+                    [rl[q.shape[-2].bit_length() - 1] for q in root_qs],
+                    [F.decode(q) for q in root_qs],
+                )
+            )
+            value = cur[..., 0, :]
+            net._count_scatter(
+                B * (net.payload_bytes("fr", 1) + VEC_PREFIX
+                     + net.payload_bytes("g1", s + m))
+            )
+            outs.append((value, summed))
+        rb = [b for bs, _ in root_jobs for b in bs]
+        rq = [q for _, qs_ in root_jobs for q in qs_]
+        root_flat = msm_ragged(self.curve, rb, rq, affine=self.affine) if rb else []
+        k = 0
+        final = []
+        for (value, summed), (bs, _) in zip(outs, root_jobs):
+            root_pis = root_flat[k : k + len(bs)]
+            k += len(bs)
+            final.append((value, root_pis + summed))
+        return final
+
     def d_open(self, net: PartyNet, peval: jnp.ndarray, point: jnp.ndarray,
                point_ints=None, c: int = 8):
         """peval [P, ..., 2^m, L], point [n, L] -> (value [..., L], proofs).
