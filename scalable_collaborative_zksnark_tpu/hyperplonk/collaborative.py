@@ -170,6 +170,186 @@ def _dsum_ch(net: PartyNet, ch: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([ch[s:], ch[:s]], axis=0)
 
 
+def _wire_b_sumchecks(pk, net: PartyNet, v1x, vx0, vx1, eq_full, ch_full):
+    """ALL layered-zerocheck sumchecks (dhyperplonk.rs:415-478) as ONE
+    traced graph — bit-identical to G = n - log2(N) separate
+    ``d_sumcheck_product`` calls on the halving slices.
+
+    Key alignment property: layer i (1-indexed) starts one global round
+    later than layer i-1 but on a half-size table, so at global round g
+    every active layer's current table has the SAME size M/2^g, and the
+    challenge consumed is the SAME ``ch_full[log2(N) + g]`` for all of
+    them (layer i's local round j uses ch_full[i + log2(N) + j], and
+    g = i + j).  The per-layer loop paid ~10 executable dispatches and
+    ~60 small device rounds per prove; this one pays R = log2(M/2)
+    growing-batch rounds in one executable.  Leader rounds (log2(N) per
+    layer, on N-element tables) batch across layers with per-layer
+    challenge rows ch_full[i + k].
+
+    Returns the list of per-layer transcripts zl [3, n_loc_i + s, 3, L],
+    matching ``d_sumcheck_product``'s output (and byte accounting) for
+    each layer exactly.
+    """
+    F = pk.pp.field
+    s = net.n.bit_length() - 1
+    M = v1x.shape[-2]
+    half = M // 2
+    R = half.bit_length() - 1  # global rounds = log2(half) = G + 1
+    G = R - 1  # layer count = n - s
+    P = v1x.shape[0]
+    if G <= 0:
+        return []
+
+    # static per-layer slices of the halving chain: layer 1 = [0, half),
+    # then repeatedly the second half of the previous slice
+    slices = []
+    start, size = 0, half
+    for _ in range(G):
+        slices.append((start, size))
+        start, size = start + size // 2, size // 2
+
+    from ..primitives import mxu_sumcheck as msc
+
+    two = F.const(2)
+    if msc.available():
+        from ..fields import mxu
+        from ..fields.mxu import Red
+
+        spec = F.spec
+
+        def cat(a, b):
+            if a is None:
+                return b
+            W = max(a.W, b.W)
+            return Red(
+                jnp.concatenate(
+                    [mxu._pad_w(a.arr, W), mxu._pad_w(b.arr, W)], axis=-3
+                ),
+                max(a.bound, b.bound),
+            )
+
+        cur_f = cur_g = None
+        raw = []  # per global round: (t0, t1, t2) Red [P, 3*A_g, W']
+        for g in range(1, R + 1):
+            if g <= G:
+                st, sz = slices[g - 1]
+                newf = mxu.to_red(
+                    _stackp([eq_full[..., st : st + sz, :],
+                             eq_full[..., st : st + sz, :],
+                             vx0[..., st : st + sz, :]])
+                )
+                newg = mxu.to_red(
+                    _stackp([v1x[..., st : st + sz, :],
+                             vx0[..., st : st + sz, :],
+                             vx1[..., st : st + sz, :]])
+                )
+                cur_f, cur_g = cat(cur_f, newf), cat(cur_g, newg)
+            hf = cur_f.arr.shape[-2] // 2
+            lof = Red(cur_f.arr[..., :hf, :], cur_f.bound)
+            hif = Red(cur_f.arr[..., hf:, :], cur_f.bound)
+            log_ = Red(cur_g.arr[..., :hf, :], cur_g.bound)
+            hig = Red(cur_g.arr[..., hf:, :], cur_g.bound)
+            t0 = mxu.dot_red(spec, lof, log_)
+            t1 = mxu.dot_red(spec, hif, hig)
+            df = mxu.sub_red(spec, hif, lof)
+            dg = mxu.sub_red(spec, hig, log_)
+            ef = mxu.add_red(hif, df)  # 2*hi - lo
+            eg = mxu.add_red(hig, dg)
+            t2 = mxu.dot_red(spec, ef, eg)
+            raw.append((t0, t1, t2))
+            m_c, _ = mxu.fold_matrix(spec, F, ch_full[s + g], df.bound, df.W)
+            cur_f = mxu.add_red(lof, mxu.mul_shared(spec, df, m_c))
+            cur_g = mxu.add_red(log_, mxu.mul_shared(spec, dg, m_c))
+        # one canon for every message + both final tables
+        flat = [t for tup in raw for t in tup]
+        Wm = max(max(t.W for t in flat), cur_f.W, cur_g.W)
+        bm = max(max(t.bound for t in flat), cur_f.bound, cur_g.bound)
+        rows = [mxu._pad_w(t.arr, Wm).reshape(-1, Wm) for t in flat]
+        rows.append(mxu._pad_w(cur_f.arr, Wm).reshape(-1, Wm))
+        rows.append(mxu._pad_w(cur_g.arr, Wm).reshape(-1, Wm))
+        limbs = mxu.canon(spec, F, Red(jnp.concatenate(rows, 0), bm))
+        # split back
+        msgs = []  # per round: [P, 3*A_g, 3, L]
+        off = 0
+        for g in range(1, R + 1):
+            A = min(g, G)
+            trip = []
+            for _ in range(3):
+                cnt = P * 3 * A
+                trip.append(limbs[off : off + cnt].reshape(P, 3 * A, F.L))
+                off += cnt
+            msgs.append(jnp.stack(trip, axis=-2))
+        cnt = P * 3 * G
+        cf = limbs[off : off + cnt].reshape(P, G, 3, F.L)
+        off += cnt
+        cg = limbs[off : off + cnt].reshape(P, G, 3, F.L)
+    else:
+        cur_f = cur_g = None
+        msgs = []
+        for g in range(1, R + 1):
+            if g <= G:
+                st, sz = slices[g - 1]
+                newf = _stackp([eq_full[..., st : st + sz, :],
+                                eq_full[..., st : st + sz, :],
+                                vx0[..., st : st + sz, :]])
+                newg = _stackp([v1x[..., st : st + sz, :],
+                                vx0[..., st : st + sz, :],
+                                vx1[..., st : st + sz, :]])
+                catf = lambda a, b: b if a is None else jnp.concatenate([a, b], -3)
+                cur_f, cur_g = catf(cur_f, newf), catf(cur_g, newg)
+            hf = cur_f.shape[-2] // 2
+            lof, hif = cur_f[..., :hf, :], cur_f[..., hf:, :]
+            log_, hig = cur_g[..., :hf, :], cur_g[..., hf:, :]
+            t0 = F.sum(F.mul(lof, log_), axis=-2)
+            t1 = F.sum(F.mul(hif, hig), axis=-2)
+            ef = F.sub(F.mul(two, hif), lof)
+            eg = F.sub(F.mul(two, hig), log_)
+            t2 = F.sum(F.mul(ef, eg), axis=-2)
+            msgs.append(jnp.stack([t0, t1, t2], axis=-2))  # [P, 3A, 3, L]
+            ch = ch_full[s + g]
+            cur_f = F.add(lof, F.mul(ch, F.sub(hif, lof)))
+            cur_g = F.add(log_, F.mul(ch, F.sub(hig, log_)))
+        cf = cur_f.reshape(P, G, 3, F.L)
+        cg = cur_g.reshape(P, G, 3, F.L)
+
+    # --- per-layer gather accounting + local message sums ---------------
+    summed = []
+    for i in range(1, G + 1):
+        n_loc = R - i + 1
+        net._count_gather(net.payload_bytes("fr", 3 * (n_loc + 1) * 3, vec=True))
+        # layer i occupies batch slots [3(i-1), 3i) from round i onward
+        loc = jnp.stack(
+            [msgs[g - 1][:, 3 * (i - 1) : 3 * i] for g in range(i, R + 1)],
+            axis=-3,
+        )  # [P, 3, n_loc, 3, L]
+        summed.append(F.sum(net.gather_data_only(loc), axis=0))
+
+    # --- leader rounds, batched across layers ---------------------------
+    # finals per layer: [P, G, 3, L] -> gathered [N, G, 3, L] -> [G, 3, N, L]
+    lf = jnp.moveaxis(net.gather_data_only(cf), 0, -2)
+    lg = jnp.moveaxis(net.gather_data_only(cg), 0, -2)
+    lead_msgs = []
+    for k in range(s):
+        hfk = lf.shape[-2] // 2
+        lof, hif = lf[..., :hfk, :], lf[..., hfk:, :]
+        log_, hig = lg[..., :hfk, :], lg[..., hfk:, :]
+        t0 = F.sum(F.mul(lof, log_), axis=-2)
+        t1 = F.sum(F.mul(hif, hig), axis=-2)
+        ef = F.sub(F.mul(two, hif), lof)
+        eg = F.sub(F.mul(two, hig), log_)
+        t2 = F.sum(F.mul(ef, eg), axis=-2)
+        lead_msgs.append(jnp.stack([t0, t1, t2], axis=-2))  # [G, 3, 3, L]
+        # layer i's leader round k uses ch_full[i + k] — contiguous rows
+        chk = ch_full[1 + k : 1 + k + G][:, None, None, :]  # [G, 1, 1, L]
+        lf = F.add(lof, F.mul(chk, F.sub(hif, lof)))
+        lg = F.add(log_, F.mul(chk, F.sub(hig, log_)))
+    lead = jnp.stack(lead_msgs, axis=-3)  # [G, 3, s, 3, L]
+
+    return [
+        jnp.concatenate([summed[i], lead[i]], axis=-3) for i in range(G)
+    ]
+
+
 def _zerocheck_layer(pk, net, cur_v1x, cur_vx0, cur_vx1, cur_eq, ch, c):
     """One layer of the layered zerocheck (dhyperplonk.rs:415-478):
     3 batched sumchecks + 3 batched opens on the current halving slice."""
@@ -197,35 +377,44 @@ def _wire_part_b(
     c: int,
     sum_fn=None,
     open_fn=None,
+    sums_fn=None,
 ):
     """2.e.2 layered zerocheck loop.
 
     The layers are data-INDEPENDENT (each consumes a slice of the part-a
-    trees), so their sumchecks run per layer (``sum_fn`` lets phased
-    execution jit one executable per halving shape) while ALL layers'
-    3-poly opens merge into one :meth:`d_open_many` round (``open_fn``
-    override) — per-layer MSM fixed costs dominated this phase."""
+    trees).  By default ALL their sumchecks run as ONE merged graph
+    (:func:`_wire_b_sumchecks` — the per-layer executables dominated the
+    warm prove at ~170 ms each of dispatch + tiny-op overhead) and ALL
+    layers' 3-poly opens merge into one :meth:`d_open_many` round
+    (``open_fn`` override) — per-layer MSM fixed costs dominated this
+    phase.  ``sum_fn`` (per-layer) / ``sums_fn`` (whole-loop) overrides
+    let phased execution substitute cached jitted executables and let
+    tests pin the merged path against the per-layer one."""
     s_bits = net.n.bit_length() - 1
     proofs: List = []
     opens: List = []
     F = pk.pp.field
-    if sum_fn is None:
-        sum_fn = lambda v1, v0, vx, eq, ch: d_sumcheck_product(
-            F,
-            net,
-            _stackp([eq, eq, v0]),
-            _stackp([v1, v0, vx]),
-            _dsum_ch(net, ch),
-        )
     if open_fn is None:
         open_fn = lambda items: pk.d_commitment.d_open_many(net, items, c=c)
     half = v1x.shape[-2] // 2
     cur_v1x, cur_vx0, cur_vx1 = v1x[..., :half, :], vx0[..., :half, :], vx1[..., :half, :]
     cur_eq = pk.eq_r2_p[..., : pk.eq_r2_p.shape[-2] // 2, :]
     items = []
+    if sum_fn is not None:
+        zls = None
+    elif sums_fn is not None:
+        zls = sums_fn(v1x, vx0, vx1)
+    else:
+        zls = _wire_b_sumchecks(
+            pk, net, v1x, vx0, vx1, pk.eq_r2_p, pk.challenge_r2
+        )
     for i in range(1, n - s_bits + 1):
         ch = pk.challenge_r2[i:]
-        zl = sum_fn(cur_v1x, cur_vx0, cur_vx1, cur_eq, ch)
+        zl = (
+            zls[i - 1]
+            if zls is not None
+            else sum_fn(cur_v1x, cur_vx0, cur_vx1, cur_eq, ch)
+        )
         proofs.extend(_unstack(zl, 3, axis=0))
         items.append((_stackp([cur_v1x, cur_vx0, cur_vx1]), ch))
         cur_v1x = cur_v1x[..., cur_v1x.shape[-2] // 2 :, :]
@@ -376,6 +565,19 @@ def dhyperplonk(n: int, pk: PackedProvingParameters, net: PartyNet,
     return (gate_proofs, gate_coms), wire
 
 
+def _make_wire_b_sums(pk: PackedProvingParameters, net: PartyNet):
+    """Closure for the phased wire_b_sums executable (jit target)."""
+    from .sharding import pk_merge
+
+    def wbs(ar, v1, v0, vx):
+        pkm = pk_merge(pk, ar)
+        return _wire_b_sumchecks(
+            pkm, net, v1, v0, vx, pkm.eq_r2_p, pkm.challenge_r2
+        )
+
+    return wbs
+
+
 def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
                        seed: int = 2, c: int = 8):
     """dhyperplonk with each protocol phase as its OWN jitted executable.
@@ -410,20 +612,14 @@ def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
                     n, pk_merge(pk, ar), net, ls_p, ss, c
                 )
             ),
-            # per-LAYER sumcheck executable (one per halving shape) plus
-            # ONE merged-opens executable: a single whole-loop graph
-            # with per-layer dense MSMs exceeded the remote compile
-            # service's response cap ("response body closed" crash),
-            # and per-layer opens paid the MSM fixed costs 10x
-            "wire_b_sum": jax.jit(
-                lambda v1, v0, vx, eq, ch: d_sumcheck_product(
-                    pk.pp.field,
-                    net,
-                    _stackp([eq, eq, v0]),
-                    _stackp([v1, v0, vx]),
-                    _dsum_ch(net, ch),
-                )
-            ),
+            # ONE merged executable for ALL layer sumchecks (growing-
+            # batch global rounds, see _wire_b_sumchecks) plus ONE
+            # merged-opens executable — per-layer executables paid
+            # ~170 ms each of dispatch + tiny-op overhead, and per-layer
+            # opens paid the MSM fixed costs 10x.  (The opens stay
+            # separate from the sumchecks: a single graph with the dense
+            # MSMs exceeded the remote compile service's response cap.)
+            "wire_b_sums": jax.jit(_make_wire_b_sums(pk, net)),
             "wire_b_open": jax.jit(
                 lambda ar, items: pk_merge(pk, ar).d_commitment.d_open_many(
                     net, items, c=c
@@ -470,9 +666,9 @@ def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
                 with timed("wire layers"):
                     pb, ob = _wire_part_b(
                         n, pk, net, v1x, vx0, vx1, c,
-                        sum_fn=lambda v1, v0, vx, eq, ch: fns[
-                            "wire_b_sum"
-                        ](v1, v0, vx, eq, ch),
+                        sums_fn=lambda v1, v0, vx: fns["wire_b_sums"](
+                            arrays, v1, v0, vx
+                        ),
                         open_fn=lambda items: fns["wire_b_open"](
                             arrays, tuple(items)
                         ),

@@ -111,8 +111,29 @@ class PackedSharingParams:
         return ntt(self.field, self.dom_share, coeffs)
 
     def unpack(self, shares: jnp.ndarray) -> jnp.ndarray:
-        """[..., n, L] degree-(t+l) shares -> [..., l, L] secrets."""
+        """[..., n, L] degree-(t+l) shares -> [..., l, L] secrets.
+
+        With ``SCZK_DEBUG_PSS=1`` additionally checks (host-side) that
+        the interpolated polynomial's coefficients above degree t+l
+        vanish — the reference's debug assertion (pss.rs:137-142) that a
+        well-formed degree-(t+l) sharing must satisfy.
+        """
         coeffs = intt(self.field, self.dom_share, shares)
+        import os
+
+        if os.environ.get("SCZK_DEBUG_PSS"):
+            import jax
+
+            if isinstance(coeffs, jax.core.Tracer):
+                pass  # host check needs concrete values; skip under jit
+            else:
+                hi = jax.device_get(coeffs[..., self.t + self.l + 1 :, :])
+                if hi.size and hi.any():
+                    raise AssertionError(
+                        "unpack: coefficients above degree t+l are non-zero "
+                        "(not a valid degree-(t+l) packed sharing; "
+                        "pss.rs:137-142 debug assertion)"
+                    )
         evals = ntt(self.field, self.dom_secret, coeffs)
         return evals[..., : self.l, :]
 

@@ -118,3 +118,18 @@ def test_group_g2_pack_unpack():
     assert pp.unpack_g2(shares) == pts
     doubled = [hc.g2_add(s, s) for s in shares]
     assert pp.unpack2_g2(doubled) == [hc.g2_mul(q, 2) for q in pts]
+
+
+def test_unpack_degree_bound_debug_flag(monkeypatch):
+    """SCZK_DEBUG_PSS=1: unpack validates that coefficients above degree
+    t+l vanish (the reference's debug assertion, pss.rs:137-142)."""
+    monkeypatch.setenv("SCZK_DEBUG_PSS", "1")
+    pp = PackedSharingParams(F, 2)
+    secrets = rand_secrets(2, 77)
+    shares = pp.pack_from_public(F.array_from_ints(secrets))
+    got = [int(v) for v in F.array_to_ints(pp.unpack(shares))]
+    assert got == secrets  # valid sharing passes
+    # corrupt one share: interpolation degree exceeds t+l -> assertion
+    bad = shares.at[3, 0].set((int(shares[3, 0]) + 1) % (1 << 16))
+    with pytest.raises(AssertionError, match="degree t\\+l"):
+        pp.unpack(bad)
