@@ -51,6 +51,10 @@ def main() -> None:
     ap.add_argument("--eager", action="store_true", help="alias for --mode eager")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the warm runs into DIR")
+    ap.add_argument("--conformance", action="store_true",
+                    help="tiny pinned-digest prove (n=6, l=1) on the current "
+                         "backend: verifies the MXU/Pallas paths produce the "
+                         "bit-exact CPU-pinned proof; prints PASS/FAIL JSON")
     args = ap.parse_args()
 
     cpu_fallback = False
@@ -83,6 +87,10 @@ def main() -> None:
     import os
 
     import jax
+
+    if args.conformance:
+        conformance()
+        return
 
     # Persistent executable cache: a fresh process re-proving the same
     # config deserializes prior executables instead of re-compiling
@@ -171,9 +179,18 @@ def main() -> None:
             print(f"# run {i}: {dt:.2f}s", file=sys.stderr)
             best = min(best, dt)
 
-    # Reference per-party estimate: 93.218 s / N at its (unrecorded) trace
-    # size; the BASELINE.json flagship config is l=8, N=64 (BASELINE.md).
+    # Baseline: the reference's only recorded run is 93.218 s for all N
+    # parties serialized on one thread (hack/run-hyperplonk/output.txt
+    # tail; per-party = total/N per README.md:33).  The trace records
+    # neither n nor l; BASELINE.md/BASELINE.json treat it as the
+    # flagship n=16, l=8 (N=64) config -> 1.457 s/party.  vs_baseline
+    # anchors to that assumption; vs_baseline_est additionally scales
+    # the anchor to the REQUESTED (n, l) with the linear-work model
+    # (per-party tables are 2^n*4/l, so work scales by 2^(n-16) * 8/l),
+    # making the two equal at the flagship config and the JSON
+    # self-describing about what was assumed.
     baseline_per_party = 93.218 / 64.0
+    baseline_est = baseline_per_party * (2 ** (n - 16)) * (8 / l)
     tag = "_cpu_fallback" if cpu_fallback else ("_cpu" if args.cpu else "")
     print(
         json.dumps(
@@ -182,9 +199,69 @@ def main() -> None:
                 "value": round(best, 4),
                 "unit": "s",
                 "vs_baseline": round(baseline_per_party / best, 4),
+                "baseline_s": round(baseline_per_party, 4),
+                "baseline_assumed_config": "93.218s/64 parties @ n=16,l=8 (trace size unrecorded)",
+                "baseline_est_s": round(baseline_est, 4),
+                "vs_baseline_est": round(baseline_est / best, 4),
             }
         )
     )
+
+
+# CPU-pinned proof digest of the tiny conformance config (n=6, l=1,
+# leader mode, phased prover).  Pinned by tests/test_bench_cli.py on the
+# CPU backend; bench.py --conformance re-checks it on real TPU hardware
+# so an MXU/Mosaic regression shows up as a wrong digest in seconds, not
+# as a 10-minute bench failure (VERDICT r3 item 7).  Re-pin whenever the
+# protocol's output semantics intentionally change.
+CONFORMANCE_PIN = {(6, 1): 0xE6A7EF46796C1C6C}
+
+
+def conformance() -> None:
+    import os
+
+    import jax
+
+    from scalable_collaborative_zksnark_tpu.utils.benchlib import (
+        enable_compile_cache,
+        proof_digest,
+    )
+
+    enable_compile_cache(Path(__file__).resolve().parent / ".jax_cache")
+    from scalable_collaborative_zksnark_tpu.hyperplonk import (
+        packed_proving_parameters,
+    )
+    from scalable_collaborative_zksnark_tpu.hyperplonk.collaborative import (
+        dhyperplonk_phased,
+    )
+    from scalable_collaborative_zksnark_tpu.mpc.net import PartyNet
+
+    results = {}
+    ok = True
+    for (n, l), pin in CONFORMANCE_PIN.items():
+        net = PartyNet(8 * l, mode="leader")
+        pk = packed_proving_parameters(n, l, net)
+        out = dhyperplonk_phased(n, pk, net)
+        d = proof_digest(out)
+        results[f"n{n}_l{l}"] = {
+            "digest": f"0x{d:016x}",
+            "pinned": f"0x{pin:016x}",
+            "pass": d == pin,
+        }
+        ok = ok and d == pin
+    print(
+        json.dumps(
+            {
+                "metric": "conformance",
+                "value": 1 if ok else 0,
+                "unit": "pass",
+                "backend": jax.default_backend(),
+                "results": results,
+            }
+        )
+    )
+    if not ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -114,3 +114,33 @@ def barrier(out):
     import jax
 
     return jax.device_get(_checksum()(out))
+
+
+@functools.cache
+def _leaf_digest():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def dig(a):
+        x = a.ravel().astype(jnp.uint32)
+        w = (jnp.arange(x.size, dtype=jnp.uint32) % jnp.uint32(8191)) + 1
+        return jnp.sum(x * w, dtype=jnp.uint32)
+
+    return dig
+
+
+def proof_digest(out) -> int:
+    """Order-sensitive 64-bit digest of a proof bundle.
+
+    Per-leaf position-weighted uint32 checksums folded host-side; any
+    single-bit change in any leaf (or a leaf-order change) flips it.
+    Backend-independent because all protocol math is bit-exact across
+    the CPU / MXU / Pallas paths — which is precisely what the pinned
+    conformance digests in bench.py verify on real hardware."""
+    import jax
+
+    d = 0
+    for leaf in jax.tree.leaves(out):
+        d = (d * 1000003 + int(jax.device_get(_leaf_digest()(leaf)))) % (1 << 64)
+    return d

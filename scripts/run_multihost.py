@@ -112,10 +112,32 @@ def run(args) -> None:
             out = jstep(arrays)
             jax.block_until_ready(out)
             best = min(best, time.time() - t0)
+        if args.digest:
+            _write_digest(out, args.digest, args.process_id, mesh)
     if args.process_id == 0:
         leaves = len(jax.tree.leaves(out))
-        print(f"# warm prove: {best:.3f}s  ({leaves} proof leaves)")
+        if args.repeat:
+            print(f"# warm prove: {best:.3f}s  ({leaves} proof leaves)")
         print(f"Comm: {net.comm(0)}")
+
+
+def _write_digest(out, path: str, process_id: int, mesh) -> None:
+    """Per-leaf position-weighted uint32 checksums of the proof bundle,
+    written by process 0 — lets a multi-process run be compared
+    BIT-EXACTLY against a single-process run of the same config
+    (the reference's LocalTestNet result-equality tests, multi.rs parity).
+    All processes must execute the jitted digest (SPMD); the scalar
+    results are replicated, so process 0 can fetch them."""
+    import jax
+
+    from scalable_collaborative_zksnark_tpu.utils.benchlib import _leaf_digest
+
+    leaves = jax.tree.leaves(out)
+    digs = [jax.device_get(_leaf_digest()(a)) for a in leaves]
+    if process_id == 0:
+        with open(path, "w") as fh:
+            for i, d in enumerate(digs):
+                fh.write(f"{i} {int(d):08x}\n")
 
 
 def local_demo(args) -> None:
@@ -135,7 +157,8 @@ def local_demo(args) -> None:
                     "--num-processes", "2", "--process-id", str(pid),
                     "--n", str(args.n), "--l", str(args.l),
                     "--repeat", str(args.repeat),
-                ],
+                ]
+                + (["--digest", args.digest] if args.digest else []),
                 env=env,
                 stdout=None if pid == 0 else subprocess.DEVNULL,
                 stderr=None if pid == 0 else subprocess.DEVNULL,
@@ -158,6 +181,9 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--local-demo", action="store_true",
                     help="spawn 2 coordinated CPU processes on this host")
+    ap.add_argument("--digest", default=None, metavar="PATH",
+                    help="write per-leaf proof checksums (process 0) for "
+                         "bit-exact comparison across process layouts")
     args = ap.parse_args()
 
     if args.local_demo:

@@ -27,5 +27,26 @@ def test_bench_smoke_emits_metric_line():
     lines = [l for l in out.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, out.stdout
     rec = json.loads(lines[0])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["unit"] == "s" and rec["value"] > 0
+    # hardened baseline reporting (VERDICT r3 item 6): the JSON line says
+    # which config the 93.218 s trace is assumed to be, and carries an
+    # (n, l)-scaled estimate next to the flagship-anchored number
+    assert "baseline_assumed_config" in rec
+    assert rec["baseline_est_s"] > 0 and rec["vs_baseline_est"] > 0
+
+
+def test_bench_conformance_digest_pinned():
+    """--conformance on the CPU backend must match the pinned digest —
+    the same pin the driver checks on real TPU hardware (MXU/Pallas
+    bit-exactness; VERDICT r3 item 7)."""
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--conformance", "--cpu"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=str(REPO),
+    )
+    assert out.returncode == 0, (out.stdout, out.stderr[-2000:])
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["metric"] == "conformance" and rec["value"] == 1, rec

@@ -115,3 +115,66 @@ def test_dhyperplonk_sharded_equal():
     with mesh:
         got = jax.jit(step, in_shardings=(shardings,))(sharded)
     _assert_tree_equal(got, want)
+
+
+def test_c_acc_product_and_share_sharded_equal():
+    """The rotating-root all-to-all transpose (dacc_product.rs:94-203)
+    under a party-sharded mesh must be bit-identical to the single-device
+    sim run — XLA lowers the src<->dest moveaxis to real all-to-alls."""
+    from scalable_collaborative_zksnark_tpu.primitives.acc_product import (
+        c_acc_product_and_share,
+    )
+
+    l, S = 1, 64
+    pp = PackedSharingParams(Fr, l)
+    N = pp.n
+    shares = Fr.random((N, S), 41)
+    masks = Fr.random((N, S), 42)
+    u0 = Fr.random((N, S), 43)
+    u1 = Fr.random((N, S), 44)
+    u2 = Fr.random((N, S), 45)
+
+    def fn(sh, mk, a, b, c):
+        net = PartyNet(N)  # fresh counters per trace
+        return c_acc_product_and_share(pp, net, sh, mk, a, b, c)
+
+    want = jax.jit(fn)(shares, masks, u0, u1, u2)
+
+    mesh = _mesh()
+    sh3 = NamedSharding(mesh, P("party", None, None))
+    args = [jax.device_put(a, sh3) for a in (shares, masks, u0, u1, u2)]
+    with mesh:
+        got = jax.jit(fn, in_shardings=(sh3,) * 5)(*args)
+    _assert_tree_equal(got, want)
+
+
+def test_cpermcheck_sharded_equal():
+    """Full baseline collaborative permcheck (dhyperplonk.rs:1249-1385)
+    under Mesh(("party",)) — covers c_acc_product_and_share, c_commit,
+    c_open and c_sumcheck_product end-to-end on a sharded party axis."""
+    from scalable_collaborative_zksnark_tpu.hyperplonk import (
+        cpermcheck,
+        packed_proving_parameters,
+    )
+    from scalable_collaborative_zksnark_tpu.hyperplonk.sharding import (
+        party_shardings,
+        pk_arrays,
+        pk_merge,
+    )
+
+    n, l = 4, 1
+    net = PartyNet(8 * l, mode="sim")
+    pk = packed_proving_parameters(n, l, net)
+    arrays = pk_arrays(pk)
+
+    def step(arrs):
+        return cpermcheck(n, pk_merge(pk, arrs), net)
+
+    want = jax.jit(step)(arrays)
+
+    mesh = _mesh()
+    shardings = party_shardings(mesh, arrays, 8 * l)
+    sharded = jax.device_put(arrays, shardings)
+    with mesh:
+        got = jax.jit(step, in_shardings=(shardings,))(sharded)
+    _assert_tree_equal(got, want)
