@@ -50,12 +50,11 @@ class Curve:
         self.fr = fr
         self.b = b
         # trace-once caching for the group law (see Field.__init__ note);
-        # scalar_mul/_linear_map_bits wrap scans that close over their
+        # scalar_mul wraps scans that close over their
         # inputs and MUST be jitted to avoid per-call re-lowering
         self.add = jax.jit(self.add)
         self.double = jax.jit(self.double)
         self.scalar_mul = jax.jit(self.scalar_mul)
-        self._linear_map_bits = jax.jit(self._linear_map_bits)
 
     def __hash__(self):
         return hash(self.name)
@@ -393,6 +392,19 @@ class Curve:
                 ptb.x.shape, 1, 1,
             )
             return PointJ(ox, oy, oz)
+        pg = self._pallas()
+        if pg is not None:
+            bshape = jnp.broadcast_shapes(
+                pt.x.shape[:-1], scalar_std.shape[:-1]
+            )
+            ptb = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, bshape + a.shape[-1:]), pt
+            )
+            sb = jnp.broadcast_to(scalar_std, bshape + scalar_std.shape[-1:])
+            x, y, z = pg.scalar_mul(
+                self.fq.spec.name, (ptb.x, ptb.y, ptb.z), sb
+            )
+            return PointJ(x, y, z)
         nbits = scalar_std.shape[-1] * LIMB_BITS
         bit_idx = jnp.arange(nbits - 1, -1, -1, dtype=jnp.uint32)
 
@@ -425,61 +437,38 @@ class Curve:
         out[o] = sum_i M[o, i] * P[..., i].  Used for PSS pack/unpack of
         group elements (DomainCoeff genericity, pss.rs:69) and for the
         fused leader reduction in d_msm — each output is a small
-        fixed-scalar MSM, evaluated as a shared double-and-add scan
-        (the doubling chain is shared across all (o, i)).
+        fixed-scalar MSM: one batched double-and-add scan over all
+        (o, i) products, then a log2(in) tree sum.  (An earlier bit-mask
+        formulation ran an in-axis tree sum inside every one of the 255
+        scan steps — ~2000 sequential tiny kernels per call; this one
+        runs ~520.)
         """
         n_out, n_in = matrix_obj.shape
+        from ..fields.config import int_to_limbs
+
+        Lr = self.fr.L
+        scal = np.zeros((n_out, n_in, Lr), dtype=np.uint32)
+        for o in range(n_out):
+            for i in range(n_in):
+                scal[o, i] = int_to_limbs(int(matrix_obj[o, i]) % self.fr.p, Lr)
         ffi = self._ffi()
         if ffi is not None:
-            from ..fields.config import int_to_limbs
-
-            Lr = self.fr.L
-            scal = np.zeros((n_out, n_in, Lr), dtype=np.uint32)
-            for o in range(n_out):
-                for i in range(n_in):
-                    scal[o, i] = int_to_limbs(int(matrix_obj[o, i]) % self.fr.p, Lr)
             out_shape = pts.x.shape[:-2] + (n_out, self.fq.L)
             ox, oy, oz = ffi.g1_op(
                 3, self._ffi_fid(ffi), pts.x, pts.y, pts.z,
                 jnp.asarray(scal), out_shape, n_in, n_out,
             )
             return PointJ(ox, oy, oz)
-        # bits table [nbits, out, in] uint32 (MSB first)
-        nbits = self.fr.p.bit_length()
-        bits = np.zeros((nbits, n_out, n_in), dtype=np.uint32)
-        for o in range(n_out):
-            for i in range(n_in):
-                v = int(matrix_obj[o, i]) % self.fr.p
-                for t in range(nbits):
-                    bits[nbits - 1 - t, o, i] = (v >> t) & 1
-        return self._linear_map_bits(jnp.asarray(bits), pts)
-
-    def _linear_map_bits(self, bits: jnp.ndarray, pts: PointJ) -> PointJ:
-        """Device kernel of linear_map: bits [nbits, out, in] as a traced
-        argument so one executable serves every same-shape matrix."""
-        nbits, n_out, n_in = bits.shape
-        # broadcast points over the out axis: [..., out, in]
-        ptb = jax.tree.map(lambda a: a[..., None, :, :], pts)
-
-        def body(acc, bit_oi):
-            acc = self.double(acc)
-            # masked sum over the `in` axis
-            masked = self.select(
-                bit_oi > 0,
-                jax.tree.map(
-                    lambda a: jnp.broadcast_to(
-                        a, a.shape[:-3] + (n_out, n_in, a.shape[-1])
-                    ),
-                    ptb,
-                ),
-                self.infinity(ptb.x.shape[:-3] + (n_out, n_in)),
-            )
-            contrib = self.sum(masked, axis=-1)  # reduce over `in` (axis -2 of batch)
-            return self.add(acc, contrib), None
-
-        acc0 = self.infinity(pts.x.shape[:-2] + (n_out,))
-        out, _ = jax.lax.scan(body, acc0, bits)
-        return out
+        # [..., out, in] products via the shared double-and-add scan
+        ptb = jax.tree.map(
+            lambda a: jnp.broadcast_to(
+                a[..., None, :, :],
+                a.shape[:-2] + (n_out, n_in, a.shape[-1]),
+            ),
+            pts,
+        )
+        prods = self.scalar_mul(ptb, jnp.asarray(scal))
+        return self.sum(prods, axis=-1)
 
     # -- validity --------------------------------------------------------
     def is_on_curve(self, pt: PointJ) -> jnp.ndarray:

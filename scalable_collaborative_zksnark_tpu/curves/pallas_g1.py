@@ -203,11 +203,55 @@ def _double_kernel(x1, y1, z1, p_ref, ox, oy, oz, *, p_np, n0inv, L):
     oz[:] = Z3
 
 
+def _scalar_mul_kernel(x1, y1, z1, sc, p_ref, ox, oy, oz, *, p_np, n0inv,
+                       L, r_np, limb_bits, n_limbs):
+    """Full double-and-add ladder in ONE kernel launch.
+
+    The scan formulation paid one device kernel launch (~0.25 ms fixed)
+    per double and per add — 512 launches for a 256-bit scalar; here the
+    whole ladder runs on VMEM-resident tiles.  ``sc``: standard-form
+    scalar limbs, TOP LIMB FIRST, [n_limbs, M].  MSB-first bits; the
+    limb row advances by rotating ``sc`` one row per outer fori step so
+    all indexing stays static (Mosaic has no dynamic row indexing).
+    """
+    import jax
+
+    one_rows = jnp.stack(
+        [jnp.full_like(x1[0, :], r_np[j]) for j in range(L)], axis=0
+    )
+    zero = jnp.zeros_like(x1[:])
+    P = (x1[:], y1[:], z1[:])
+    acc0 = (zero, one_rows, zero)
+
+    def limb_body(_, state):
+        scr, acc = state
+        row = scr[0]  # [M] current (most-significant remaining) limb
+
+        def bit_body(j, a):
+            # TINY body (one double + one add) so Mosaic compiles in
+            # seconds; bit offset is a traced scalar (shift-by-splat)
+            off = jnp.uint32(limb_bits - 1) - j.astype(jnp.uint32)
+            bit = ((row >> off) & 1) > 0
+            dX, dY, dZ = _double_t(*a, p_np, n0inv, L, p_ref[:])
+            added = _add_t(dX, dY, dZ, *P, p_np, n0inv, L, one_rows,
+                           False, p_ref[:])
+            return _select_t(bit, added, (dX, dY, dZ))
+
+        acc = jax.lax.fori_loop(0, limb_bits, bit_body, acc)
+        scr = jnp.concatenate([scr[1:], scr[:1]], axis=0)
+        return scr, acc
+
+    _, acc = jax.lax.fori_loop(0, n_limbs, limb_body, (sc[:], acc0))
+    ox[:] = acc[0]
+    oy[:] = acc[1]
+    oz[:] = acc[2]
+
+
 @functools.lru_cache(maxsize=None)
-def _point_call(op: str, fq_name: str, m: int):
+def _point_call(op: str, fq_name: str, m: int, n_limbs: int = 0):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-    from ..fields.config import FIELDS
+    from ..fields.config import FIELDS, LIMB_BITS
 
     spec = FIELDS[fq_name]
     L = spec.num_limbs
@@ -218,6 +262,25 @@ def _point_call(op: str, fq_name: str, m: int):
     bm = min(m, BLOCK_M)
     coord = pl.BlockSpec((L, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    if op == "scalar_mul":
+        kern = functools.partial(
+            _scalar_mul_kernel, p_np=p_np, n0inv=n0inv, L=L, r_np=r_np,
+            limb_bits=LIMB_BITS, n_limbs=n_limbs,
+        )
+        specs = [coord] * 3 + [
+            pl.BlockSpec((n_limbs, bm), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pspec,
+        ]
+        from ..fields.pallas_fr import _interpret
+
+        return pl.pallas_call(
+            kern,
+            out_shape=[jax.ShapeDtypeStruct((L, m), jnp.uint32)] * 3,
+            grid=(grid,),
+            in_specs=specs,
+            out_specs=[coord] * 3,
+            interpret=_interpret(),
+        )
     if op == "double":
         kern = functools.partial(_double_kernel, p_np=p_np, n0inv=n0inv, L=L)
         specs = [coord] * 3 + [pspec]
@@ -289,6 +352,231 @@ def _from_tiles(tiles, m, shape):
     return tuple(
         jnp.moveaxis(t[:, :m], 0, -1).reshape(shape) for t in tiles
     )
+
+
+def _horner_kernel(tx, ty, tz, p_ref, ox, oy, oz, *, p_np, n0inv, L, r_np,
+                   c, W):
+    """res = sum_w 2^(c*w) * T_w in ONE launch (MSB window first).
+
+    ``tx/ty/tz``: [W, L, C] window totals.  The XLA-level scan paid one
+    kernel launch per double/add — W*(c+1) launches (~70 ms per MSM
+    call at W=32, c=8); here the whole combine is VMEM-resident."""
+    import jax
+
+    one_rows = jnp.stack(
+        [jnp.full_like(tx[0, 0, :], r_np[j]) for j in range(L)], axis=0
+    )
+    zero = jnp.zeros_like(tx[0])
+    acc0 = (zero, one_rows, zero)
+    # window W-1 first: operands arrive MSB-window-major (caller flips)
+    state0 = (tx[:], ty[:], tz[:], *acc0)
+
+    def body(_, st):
+        TX, TY, TZ, aX, aY, aZ = st
+        acc = (aX, aY, aZ)
+        acc = jax.lax.fori_loop(
+            0, c, lambda j, a: _double_t(*a, p_np, n0inv, L, p_ref[:]), acc
+        )
+        acc = _add_t(acc[0], acc[1], acc[2], TX[0], TY[0], TZ[0],
+                     p_np, n0inv, L, one_rows, False, p_ref[:])
+        rot = lambda T: jnp.concatenate([T[1:], T[:1]], axis=0)
+        return rot(TX), rot(TY), rot(TZ), *acc
+
+    st = jax.lax.fori_loop(0, W, body, state0)
+    ox[:] = st[3]
+    oy[:] = st[4]
+    oz[:] = st[5]
+
+
+def horner(fq_name: str, coords, c: int):
+    """Window combine: coords tuple of [W, C_batch, L] -> tuple [C_batch, L]."""
+    from ..fields.config import FIELDS
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..fields.pallas_fr import _interpret
+
+    W, C = coords[0].shape[0], coords[0].shape[1]
+    L = coords[0].shape[-1]
+    lanes = 8 if _interpret() else 128
+    Cp = max(((C + lanes - 1) // lanes) * lanes, lanes)
+    tiles = []
+    for a in coords:
+        t = jnp.moveaxis(a[::-1], -1, -2)  # [W, L, C], MSB window first
+        if Cp != C:
+            t = jnp.concatenate(
+                [t, jnp.zeros((W, L, Cp - C), jnp.uint32)], axis=-1
+            )
+        tiles.append(t)
+    spec = FIELDS[fq_name]
+    p_np = tuple(int(v) for v in spec.p_limbs)
+    r_np = tuple(int(v) for v in spec.r_limbs)
+    call = _horner_call(fq_name, W, Cp, int(c))
+    out = call(*tiles, jnp.asarray(spec.p_limbs, jnp.uint32).reshape(L, 1))
+    return tuple(jnp.moveaxis(t[:, :C], 0, -1) for t in out)
+
+
+@functools.lru_cache(maxsize=None)
+def _horner_call(fq_name: str, W: int, Cp: int, c: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..fields.config import FIELDS
+    from ..fields.pallas_fr import _interpret
+
+    spec = FIELDS[fq_name]
+    L = spec.num_limbs
+    kern = functools.partial(
+        _horner_kernel,
+        p_np=tuple(int(v) for v in spec.p_limbs),
+        n0inv=int(spec.n0inv),
+        L=L,
+        r_np=tuple(int(v) for v in spec.r_limbs),
+        c=c,
+        W=W,
+    )
+    wspec = pl.BlockSpec((W, L, Cp), lambda: (0, 0, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, Cp), lambda: (0, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((L, 1), lambda: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((L, Cp), jnp.uint32)] * 3,
+        in_specs=[wspec] * 3 + [pspec],
+        out_specs=[cspec] * 3,
+        interpret=_interpret(),
+    )
+
+
+def _bucket_reduce_kernel(bx, by, bz, p_ref, ox, oy, oz, *, p_np, n0inv, L,
+                          r_np, K, C):
+    """Weighted bucket reduce sum_{k>=1} k*B_k for ONE window, in ONE
+    launch: grid over windows, block = [L, K*C] bucket tiles (bucket
+    k's C segment columns at columns [k*C, (k+1)*C)).
+
+    Two in-kernel Hillis-Steele passes over the bucket axis (static
+    column shifts): (1) reversed inclusive prefix sum so column k holds
+    S_k = sum_{j>=k} B_j, (2) plain prefix over S_1..S_{K-1} whose last
+    column is the weighted total.  The XLA-level form paid ~2*log2(K)
+    kernel launches per call."""
+    one_rows = jnp.stack(
+        [jnp.full_like(bx[0, 0, :], r_np[j]) for j in range(L)], axis=0
+    )
+    cur = (bx[0], by[0], bz[0])  # [L, K*C], bucket-major columns
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, K * C), 1) // C  # bucket k
+
+    def shifted_add(state, sh, reverse, lo_k):
+        # add the block shifted by sh buckets (toward lower columns when
+        # reverse) into lanes whose bucket index admits it
+        X, Y, Z = state
+        scols = sh * C
+        zpad = jnp.zeros((L, scols), jnp.uint32)
+        if reverse:  # suffix direction: cur[k] += cur[k + sh]
+            shX = jnp.concatenate([X[:, scols:], zpad], axis=1)
+            shY = jnp.concatenate([Y[:, scols:], one_pad(one_rows, scols)], axis=1)
+            shZ = jnp.concatenate([Z[:, scols:], zpad], axis=1)
+            ok = (col < K - sh) & (col >= lo_k)
+        else:  # prefix: cur[k] += cur[k - sh]
+            shX = jnp.concatenate([zpad, X[:, : -scols]], axis=1)
+            shY = jnp.concatenate([one_pad(one_rows, scols), Y[:, : -scols]], axis=1)
+            shZ = jnp.concatenate([zpad, Z[:, : -scols]], axis=1)
+            ok = (col >= lo_k + sh)
+        added = _add_t(X, Y, Z, shX, shY, shZ, p_np, n0inv, L, one_rows,
+                       False, p_ref[:])
+        return _select_t(ok[0], added, (X, Y, Z))
+
+    def one_pad(rows, scols):
+        return jnp.broadcast_to(rows[:, :1], (L, scols)) if scols else rows[:, :0]
+
+    sh = 1
+    while sh < K:  # pass 1: S_k = sum_{j >= k} B_j
+        cur = shifted_add(cur, sh, True, 0)
+        sh *= 2
+    sh = 1
+    while sh < K:  # pass 2: prefix over S_1.. (bucket 0 excluded)
+        cur = shifted_add(cur, sh, False, 1)
+        sh *= 2
+    # total = last prefix column (bucket K-1)
+    ox[0] = cur[0][:, (K - 1) * C :]
+    oy[0] = cur[1][:, (K - 1) * C :]
+    oz[0] = cur[2][:, (K - 1) * C :]
+
+
+@functools.lru_cache(maxsize=None)
+def _bucket_reduce_call(fq_name: str, W: int, K: int, C: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..fields.config import FIELDS
+    from ..fields.pallas_fr import _interpret
+
+    spec = FIELDS[fq_name]
+    L = spec.num_limbs
+    kern = functools.partial(
+        _bucket_reduce_kernel,
+        p_np=tuple(int(v) for v in spec.p_limbs),
+        n0inv=int(spec.n0inv),
+        L=L,
+        r_np=tuple(int(v) for v in spec.r_limbs),
+        K=K,
+        C=C,
+    )
+    bspec = pl.BlockSpec((L, K * C), lambda w: (w, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((L, C), lambda w: (w, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((L, 1), lambda w: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((W, L, C), jnp.uint32)] * 3,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((1, L, K * C), lambda w: (w, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3 + [pspec],
+        out_specs=[
+            pl.BlockSpec((1, L, C), lambda w: (w, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        interpret=_interpret(),
+    )
+
+
+def bucket_reduce(fq_name: str, coords, K: int):
+    """sum_{k>=1} k*B_k per (window, segment-column).
+
+    coords: tuple of [W, K, C_cols, L] bucket sums (k ascending).
+    Returns tuple of [W, C_cols, L] window totals."""
+    W, _, C = coords[0].shape[0], coords[0].shape[1], coords[0].shape[2]
+    L = coords[0].shape[-1]
+    lanes_c = C  # caller pads C to a lane-friendly count
+    tiles = []
+    for a in coords:
+        # [W, K, C, L] -> [W, L, K*C] (bucket-major columns)
+        t = jnp.moveaxis(a, -1, 1).reshape(W, L, K * C)
+        tiles.append(t)
+    from ..fields.config import FIELDS
+
+    spec = FIELDS[fq_name]
+    p_col = jnp.asarray(spec.p_limbs, jnp.uint32).reshape(spec.num_limbs, 1)
+    out = _bucket_reduce_call(fq_name, W, K, C)(*tiles, p_col)
+    return tuple(jnp.moveaxis(t, 1, -1) for t in out)  # [W, C, L]
+
+
+def scalar_mul(fq_name: str, coords, scalars_std):
+    """One-launch double-and-add: coords tuple of [..., L], scalars
+    [..., Lr] standard-form (any per-element scalars).  Returns coord
+    tuple, same batch shape."""
+    L = coords[0].shape[-1]
+    Lr = scalars_std.shape[-1]
+    tiles, m, shape = _to_tiles(list(coords), L)
+    mp = tiles[0].shape[1]
+    flatb = scalars_std.reshape(-1, Lr)
+    sct = jnp.moveaxis(flatb, -1, 0)[::-1]  # [Lr, m], TOP limb first
+    if mp != flatb.shape[0]:
+        sct = jnp.concatenate(
+            [sct, jnp.zeros((Lr, mp - flatb.shape[0]), jnp.uint32)], axis=1
+        )
+    from ..fields.config import FIELDS
+
+    p_col = jnp.asarray(FIELDS[fq_name].p_limbs, dtype=jnp.uint32).reshape(L, 1)
+    out = _point_call("scalar_mul", fq_name, mp, Lr)(*tiles, sct, p_col)
+    return _from_tiles(out, m, shape)
 
 
 def point_op(op: str, fq_name: str, coords, mask=None):

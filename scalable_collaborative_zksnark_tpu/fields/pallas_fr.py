@@ -166,6 +166,52 @@ def _cond_sub_p_rows(limbs, extra, p_np, L):
     return [jnp.where(take, diff[j], limbs[j]) for j in range(L)]
 
 
+def _mont_mul_rows(at, bt, p_col, n0inv, L):
+    """Fully unrolled CIOS over per-row [M] arrays (no tile concats).
+
+    REJECTED LEVER (kept opt-in via SCZK_CIOS_UNROLL=1 so the number can
+    be re-checked on future hardware): measured 2.3x SLOWER than the
+    loop form on v5e (100x add_reset_lazy [8192]: 164 ms vs 71 ms).
+    Per-row [M] arrays occupy one sublane each, so the row arithmetic
+    runs at ~1/8 VPU utilization; the [L, M] tile ops of
+    :func:`_mont_mul_tiles2` fill all sublanes, which outweighs the
+    concat/rotation copies this form eliminates.
+    """
+    a = [at[i] for i in range(L)]
+    b = [bt[i] for i in range(L)]
+    p = [p_col[i, 0] for i in range(L)]
+    t = [jnp.zeros_like(a[0]) for _ in range(L + 2)]
+    for i in range(0, L, 2):
+        ai, aj = a[i], a[i + 1]
+        prod_i = [ai * b[k] for k in range(L)]
+        m_i = (((t[0] + (prod_i[0] & LIMB_MASK)) & LIMB_MASK) * n0inv) & LIMB_MASK
+        mp_i = [m_i * p[k] for k in range(L)]
+        lo_i = [(prod_i[k] & LIMB_MASK) + (mp_i[k] & LIMB_MASK) for k in range(L)]
+        hi_i = [(prod_i[k] >> LIMB_BITS) + (mp_i[k] >> LIMB_BITS) for k in range(L)]
+        carry_i = (t[0] + lo_i[0]) >> LIMB_BITS
+        prod_j0 = aj * b[0]
+        tp0 = t[1] + lo_i[1] + hi_i[0] + carry_i + (prod_j0 & LIMB_MASK)
+        m_j = ((tp0 & LIMB_MASK) * n0inv) & LIMB_MASK
+        prod_j = [prod_j0] + [aj * b[k] for k in range(1, L)]
+        mp_j = [m_j * p[k] for k in range(L)]
+        lo_j = [(prod_j[k] & LIMB_MASK) + (mp_j[k] & LIMB_MASK) for k in range(L)]
+        hi_j = [(prod_j[k] >> LIMB_BITS) + (mp_j[k] >> LIMB_BITS) for k in range(L)]
+        # t += lo_i @ 0.., (hi_i + lo_j) @ 1.., hi_j @ 2..
+        nt = [None] * (L + 2)
+        nt[0] = t[0] + lo_i[0]
+        nt[1] = t[1] + lo_i[1] + hi_i[0] + lo_j[0]
+        for k in range(2, L):
+            nt[k] = t[k] + lo_i[k] + hi_i[k - 1] + lo_j[k - 1] + hi_j[k - 2]
+        nt[L] = t[L] + hi_i[L - 1] + lo_j[L - 1] + hi_j[L - 2]
+        nt[L + 1] = t[L + 1] + hi_j[L - 1]
+        c0 = nt[0] >> LIMB_BITS
+        t1 = nt[1] + c0
+        c1 = t1 >> LIMB_BITS
+        t = nt[2:] + [jnp.zeros_like(a[0]), jnp.zeros_like(a[0])]
+        t[0] = t[0] + c1
+    return t
+
+
 # -- value-level tile helpers (shared with curves/pallas_g1.py) -----------
 def mul_t(at, bt, p_np, n0inv, L, p_col=None):
     """[L, M] x [L, M] -> [L, M] Montgomery product (kernel-internal).
@@ -176,7 +222,11 @@ def mul_t(at, bt, p_np, n0inv, L, p_col=None):
         raise ValueError("mul_t needs the p_col operand")
     import os
 
-    if L % 2 == 0 and os.environ.get("SCZK_CIOS2", "1") != "0":
+    if L % 2 == 0 and os.environ.get("SCZK_CIOS_UNROLL", "0") != "0":
+        t = _mont_mul_rows(at, bt, p_col, n0inv, L)
+        limbs, carry = _carry_rows(t[:L], L)
+        carry = carry + t[L] + (t[L + 1] << LIMB_BITS)
+    elif L % 2 == 0 and os.environ.get("SCZK_CIOS2", "1") != "0":
         t = _mont_mul_tiles2(at, bt, p_col, n0inv, L)
         limbs, carry = _carry_rows(t[:L], L)
         # overflow rows in 2^(16L) units; total < 2 since result < 2p

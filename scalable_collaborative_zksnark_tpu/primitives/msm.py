@@ -105,6 +105,67 @@ double-and-add (~2 point-ops per scalar bit on N lanes vs ~24 per window
 element): the small-MSM path is one scalar_mul scan + a tree sum."""
 
 
+def _horner_windows(curve: Curve, totals: PointJ, c: int) -> PointJ:
+    """Window combine res = sum_w 2^(c*w) * totals[w] ([W, C...] -> [C...]).
+
+    On TPU this is ONE fused pallas kernel (pallas_g1.horner) — the scan
+    form paid one ~0.25 ms kernel launch per double/add, ~70 ms per MSM
+    call at W = 32, c = 8."""
+    pg = curve._pallas()
+    if pg is not None:
+        W = totals.x.shape[0]
+        batch = totals.x.shape[1:-1]
+        flatC = int(np.prod(batch, dtype=np.int64)) if batch else 1
+        t3 = jax.tree.map(
+            lambda a: a.reshape(W, flatC, a.shape[-1]), totals
+        )
+        x, y, z = pg.horner(curve.fq.spec.name, (t3.x, t3.y, t3.z), c)
+        return jax.tree.map(
+            lambda a: a.reshape(batch + (a.shape[-1],)), PointJ(x, y, z)
+        )
+    rev_tot = jax.tree.map(lambda a: a[::-1], totals)
+
+    def horner(res, tot):
+        for _ in range(c):
+            res = curve.double(res)
+        return curve.add(res, PointJ(*tot)), None
+
+    res0 = curve.infinity(totals.x.shape[1:-1])
+    res, _ = jax.lax.scan(horner, res0, tuple(rev_tot))
+    return res
+
+
+def _weighted_bucket_totals(curve: Curve, acc_wck: PointJ) -> PointJ:
+    """sum_{k>=1} k*B_k per (window, segment): [W, C, K, L] -> [W, C, L].
+
+    On TPU both Hillis-Steele passes run inside ONE pallas kernel per
+    window (pallas_g1.bucket_reduce) — the XLA-level form paid
+    ~2*log2(K) kernel launches (~1 ms each) per MSM call."""
+    W, C, K = acc_wck.x.shape[0], acc_wck.x.shape[1], acc_wck.x.shape[2]
+    pg = curve._pallas()
+    if pg is not None:
+        import os
+
+        lanes = 8 if os.environ.get("SCZK_PALLAS_INTERPRET") else 128
+        Cp = max(((C + lanes - 1) // lanes) * lanes, lanes)
+        a = acc_wck
+        if Cp != C:
+            a = jax.tree.map(
+                lambda t: jnp.concatenate(
+                    [t, jnp.zeros((W, Cp - C) + t.shape[2:], t.dtype)], axis=1
+                ),
+                a,
+            )
+        # [W, Cp, K, L] -> [W, K, Cp, L]
+        a = jax.tree.map(lambda t: jnp.swapaxes(t, 1, 2), a)
+        x, y, z = pg.bucket_reduce(curve.fq.spec.name, (a.x, a.y, a.z), K)
+        return jax.tree.map(lambda t: t[:, :C], PointJ(x, y, z))
+    rev = jax.tree.map(lambda t: t[:, :, ::-1], acc_wck)
+    pref = _prefix_scan_axis1(curve, rev, axis=2)
+    suff = jax.tree.map(lambda t: t[:, :, : K - 1], pref)
+    return curve.sum(suff, axis=2)
+
+
 def _prefix_scan_axis1(curve: Curve, pts: PointJ, axis: int = 1) -> PointJ:
     """Inclusive prefix point-sum along a batch axis (Hillis-Steele)."""
     n = pts.x.shape[axis]
@@ -191,24 +252,16 @@ def _msm_1d_buckets(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
 
-    # sum_k k*B_k = sum_{j>=1} S_j with S_j = sum_{k>=j} B_k: reverse the
-    # bucket axis, inclusive prefix-scan, then tree-sum the suffixes
-    rev = jax.tree.map(lambda a: a[:, ::-1], acc)  # k = K-1 .. 0
-    pref = _prefix_scan_axis1(curve, rev)  # pref[:, j] = sum_{k >= K-1-j}
-    suff = jax.tree.map(lambda a: a[:, : K - 1], pref)  # S_{K-1} .. S_1
-    totals = curve.sum(suff, axis=1)  # [W]
+    # sum_k k*B_k per window via the fused weighted bucket reduce
+    totals = jax.tree.map(
+        lambda a: a[:, 0],
+        _weighted_bucket_totals(
+            curve, jax.tree.map(lambda a: a[:, None], acc)
+        ),
+    )  # [W]
 
     # Horner over windows, MSB window first: res = 2^c * res + total_w
-    rev_tot = jax.tree.map(lambda a: a[::-1], totals)
-
-    def horner(res, tot):
-        for _ in range(c):
-            res = curve.double(res)
-        return curve.add(res, PointJ(*tot)), None
-
-    res0 = curve.infinity(())
-    res, _ = jax.lax.scan(horner, res0, tuple(rev_tot))
-    return res
+    return _horner_windows(curve, totals, c)
 
 
 def _msm_1d(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int,
@@ -471,22 +524,14 @@ def _msm_1d_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
         lens.reshape(-1),
     )  # [W*K]
     acc = jax.tree.map(lambda a: a.reshape(W, K, -1), acc)
+    totals = jax.tree.map(
+        lambda a: a[:, 0],
+        _weighted_bucket_totals(
+            curve, jax.tree.map(lambda a: a[:, None], acc)
+        ),
+    )  # [W]
 
-    rev = jax.tree.map(lambda a: a[:, ::-1], acc)
-    pref = _prefix_scan_axis1(curve, rev)
-    suff = jax.tree.map(lambda a: a[:, : K - 1], pref)
-    totals = curve.sum(suff, axis=1)  # [W]
-
-    rev_tot = jax.tree.map(lambda a: a[::-1], totals)
-
-    def horner(res, tot):
-        for _ in range(c):
-            res = curve.double(res)
-        return curve.add(res, PointJ(*tot)), None
-
-    res0 = curve.infinity(())
-    res, _ = jax.lax.scan(horner, res0, tuple(rev_tot))
-    return res
+    return _horner_windows(curve, totals, c)
 
 
 MIN_MSM_SIZE = 32
@@ -691,22 +736,11 @@ def _msm_ragged_core(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
 
     _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), acc0))
 
-    # per chunk: sum_k k*B_k via reversed prefix scan over the bucket axis
-    accr = jax.tree.map(lambda a: a.reshape(W, C, K, -1)[:, :, ::-1], acc)
-    pref = _prefix_scan_axis1(curve, accr, axis=2)  # pref[..., j] = S_{K-1-j}
-    suff = jax.tree.map(lambda a: a[:, :, : K - 1], pref)  # S_{K-1} .. S_1
-    totals = curve.sum(suff, axis=2)  # [W, C]
+    # per chunk: sum_k k*B_k via the fused weighted bucket reduce
+    accr = jax.tree.map(lambda a: a.reshape(W, C, K, -1), acc)
+    totals = _weighted_bucket_totals(curve, accr)  # [W, C]
 
-    rev_tot = jax.tree.map(lambda a: a[::-1], totals)
-
-    def horner(res, tot):
-        for _ in range(c):
-            res = curve.double(res)
-        return curve.add(res, PointJ(*tot)), None
-
-    res0 = curve.infinity((C,))
-    res, _ = jax.lax.scan(horner, res0, tuple(rev_tot))
-    return res
+    return _horner_windows(curve, totals, c)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
@@ -753,21 +787,10 @@ def _msm_ragged_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
         (starts + offs).reshape(-1),
         lens.reshape(-1),
     )
-    acc = jax.tree.map(lambda a: a.reshape(W, C, K, -1)[:, :, ::-1], acc)
-    pref = _prefix_scan_axis1(curve, acc, axis=2)
-    suff = jax.tree.map(lambda a: a[:, :, : K - 1], pref)
-    totals = curve.sum(suff, axis=2)  # [W, C]
+    acc = jax.tree.map(lambda a: a.reshape(W, C, K, -1), acc)
+    totals = _weighted_bucket_totals(curve, acc)  # [W, C]
 
-    rev_tot = jax.tree.map(lambda a: a[::-1], totals)
-
-    def horner(res, tot):
-        for _ in range(c):
-            res = curve.double(res)
-        return curve.add(res, PointJ(*tot)), None
-
-    res0 = curve.infinity((C,))
-    res, _ = jax.lax.scan(horner, res0, tuple(rev_tot))
-    return res
+    return _horner_windows(curve, totals, c)
 
 
 def msm_ragged(curve: Curve, bases_list, scalars_list, c: int | None = None,
@@ -864,6 +887,50 @@ def _dmsm_reduce_vectors(pp: PackedSharingParams):
     return w, q
 
 
+@functools.lru_cache(maxsize=None)
+def _dmsm_scale_consts(pp: PackedSharingParams):
+    """Montgomery-limb constants that fold the rank-1 leader map INTO
+    the MSM scalars (group-linearity rewrite; see d_msm docstring):
+
+    * ``qw0`` [L]: q_0 * sum_j w_j mod r — the leader-mode pre-scale
+      (the fake-network gather tiles the one party's partial, so
+      w·x = (sum w_j)·x and out_0 = q_0·(w·x)).
+    * ``w_mont`` [n, L]: per-party w_j for the sim-mode pre-scale.
+    * ``q_std`` [n, L]: standard-form q_j for the sim-mode post scalar
+      multiplication.
+    """
+    from ..fields.config import int_to_limbs
+
+    F = pp.field
+    w, q = _dmsm_reduce_vectors(pp)
+    wsum = sum(int(w[0, j]) for j in range(pp.n)) % F.p
+    qw0 = F.to_mont_int(int(q[0, 0]) * wsum % F.p)
+    w_mont = np.stack([F.to_mont_int(int(w[0, j])) for j in range(pp.n)])
+    q_std = np.stack([int_to_limbs(int(q[j, 0]), F.L) for j in range(pp.n)])
+    # NUMPY results only: device arrays born inside one jit trace would
+    # leak tracers into later traces through the lru_cache (cf.
+    # unpack._pack_single_u_np)
+    return qw0, w_mont, q_std
+
+
+def _dmsm_prescale(pp: PackedSharingParams, net: PartyNet,
+                   scalars_std: jnp.ndarray) -> jnp.ndarray:
+    """Fold the leader map's scalar factors into standard-form scalars.
+
+    For standard-form s, F.mul(s, to_mont(k)) = s*k*R*R^-1 = s*k mod r —
+    still standard form.  Leader mode folds the whole q_0*(sum w) factor
+    (output = the local MSM directly); sim mode folds per-party w_j
+    (the partial sum over parties then equals w·x by MSM linearity)."""
+    F = pp.field
+    qw0, w_mont, _ = _dmsm_scale_consts(pp)
+    if net.mode == "leader":
+        return F.mul(scalars_std, jnp.asarray(qw0))
+    wb = jnp.asarray(
+        w_mont.reshape((pp.n,) + (1,) * (scalars_std.ndim - 2) + (F.L,))
+    )
+    return F.mul(scalars_std, wb)
+
+
 def d_msm(
     curve: Curve,
     pp: PackedSharingParams,
@@ -879,14 +946,31 @@ def d_msm(
     Returns PointJ [P, B] — fresh degree-(t+l) shares whose every secret
     slot equals the true MSM result (dmsm.rs:35 replicates the output
     into all l slots before re-packing).
+
+    The rank-1 leader map q ⊗ (w·x) is folded INTO the MSM by group
+    linearity: party j's scalars are pre-scaled by w_j (one elementwise
+    field multiply), so summing the local partials yields w·x with no
+    leader-side group arithmetic; leader mode additionally folds q_0
+    into the same pre-scale (its fake gather tiles one party's partial,
+    making the whole map the scalar q_0·Σw).  A 255-bit scalar
+    multiplication has ~2·255 sequential group-op depth (~100 ms on
+    TPU however it is batched); the fold replaces it with one VPU pass
+    over the scalar table.  Outputs are value-identical (possibly
+    different Jacobian representatives).
     """
-    local = msm(curve, bases, scalars_std, c=c)  # [P, B]
+    scaled = _dmsm_prescale(pp, net, scalars_std)
+    local = msm(curve, bases, scaled, c=c)  # [P, B]
     B = local.x.shape[-2]
+    if net.mode == "leader":
+        # counting only: one gather + one scatter leader round
+        net._count_gather(net.payload_bytes("g1", B, vec=True))
+        net._count_scatter(net.payload_bytes("g1", B, vec=True))
+        return local
     g = net.gather_to_root(local, "g1", count=B, vec=True)  # [N, B]
-    w, q = _dmsm_reduce_vectors(pp)
-    gt = jax.tree.map(lambda a: jnp.moveaxis(a, 0, -2), g)  # [B, N]
-    t = curve.linear_map(w, gt)  # [B, 1]
-    # repack only the rows the scatter keeps (leader mode: one party)
-    out = curve.linear_map(q[: net.local_parties], t)  # [B, P]
-    out = jax.tree.map(lambda a: jnp.moveaxis(a, -2, 0), out)  # [P, B]
+    t = curve.sum(g, axis=0)  # [B] = w·x (w folded into the scalars)
+    _, _, q_std = _dmsm_scale_consts(pp)
+    tb = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (net.n,) + a.shape), t
+    )
+    out = curve.scalar_mul(tb, jnp.asarray(q_std)[:, None, :])  # [N, B] = q_p*(w*x)
     return net.scatter_from_root(out, "g1", count=B, vec=True)

@@ -45,7 +45,7 @@ from ..curves.g1 import Curve, PointJ
 from ..fields.fr import Field
 from ..mpc.net import PartyNet
 from ..pss.pss import PackedSharingParams
-from .msm import _dmsm_reduce_vectors, msm, msm_ragged
+from .msm import msm, msm_ragged
 from .unpack import pss2ss
 
 
@@ -553,22 +553,30 @@ def srs_random(curve: Curve, n: int, seed: int, n_parties: int = 1,
 # ---------------------------------------------------------------------------
 def _d_msm_ragged(curve, pp, net, bases_list, scalars_list, c=8, affine=False):
     """d_msm for a ragged batch (one leader round): ONE segmented bucket
-    MSM for every entry, stacked to [P, B], then the fused rank-1 leader
-    reduce (dmsm.rs:29-40).
+    MSM for every entry, with the rank-1 leader reduce (dmsm.rs:29-40)
+    folded into the MSM scalars by group linearity (see d_msm docstring —
+    the explicit q ⊗ (w·x) ladder cost ~100 ms of sequential group-op
+    depth per call).
     """
+    from .msm import _dmsm_prescale, _dmsm_scale_consts
+
     F = curve.fr
-    locs = msm_ragged(curve, bases_list, scalars_list, affine=affine)  # [P, ...] each
+    scaled = [_dmsm_prescale(pp, net, s) for s in scalars_list]
+    locs = msm_ragged(curve, bases_list, scaled, affine=affine)  # [P, ...] each
     local = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *locs)  # [P, ..., B]
     B = len(locs) * int(np.prod(locs[0].x.shape[1:-1], dtype=np.int64))
+    if net.mode == "leader":
+        net._count_gather(net.payload_bytes("g1", B, vec=True))
+        net._count_scatter(net.payload_bytes("g1", B, vec=True))
+        return local
     gathered = net.gather_to_root(local, "g1", count=B, vec=True)
-    w, q = _dmsm_reduce_vectors(pp)
-    gt = jax.tree.map(lambda a: jnp.moveaxis(a, 0, -2), gathered)  # [B, N]
-    t = curve.linear_map(w, gt)  # [B, 1]
-    # only materialized parties' repack rows are computed (leader mode
-    # keeps one); the scatter slices the same rows, so the dropped ones
-    # were pure waste — at N = 64 the repack was ~98% of the leader map
-    out = curve.linear_map(q[: net.local_parties], t)  # [B, P]
-    out = jax.tree.map(lambda a: jnp.moveaxis(a, -2, 0), out)  # [P, B]
+    t = curve.sum(gathered, axis=0)  # [..., B] = w·x
+    _, _, q_std = _dmsm_scale_consts(pp)
+    tb = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (net.n,) + a.shape), t
+    )
+    qb = jnp.asarray(q_std).reshape((net.n,) + (1,) * (tb.x.ndim - 2) + (F.L,))
+    out = curve.scalar_mul(tb, qb)  # [N, ..., B]
     return net.scatter_from_root(out, "g1", count=B, vec=True)
 
 

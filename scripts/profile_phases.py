@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("--l", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--only-prims", action="store_true",
+                    help="skip the protocol phases, time primitives only")
     args = ap.parse_args()
 
     if args.cpu:
@@ -91,6 +93,9 @@ def main() -> None:
         return out
 
     # --- protocol phases (the phased executables, in protocol order) ----
+    if args.only_prims:
+        _prims(args, timeit, pk, net, arrays, F, curve, gc, P)
+        return
     local_s_p = F.random((P, gc * 4 // net.n), 2 * 31 + 1)
     local_s = F.random((P, gc * 4 // net.n // pk.pp.l), 2 * 31 + 2)
     eq_top = F.random((net.n,), 2 * 31 + 3)
@@ -128,7 +133,17 @@ def main() -> None:
     timeit("phase wire_c", wire_c_j, arrays, leader_tree, eq_top)
     open_j = jax.jit(lambda ar, cm: co._final_opens(pk_merge(pk, ar), net, cm, c))
     timeit("phase open", open_j, arrays, coms)
+    _prims(args, timeit, pk, net, arrays, F, curve, gc, P)
 
+
+def _prims(args, timeit, pk, net, arrays, F, curve, gc, P):
+    import jax
+    import jax.numpy as jnp
+
+    from scalable_collaborative_zksnark_tpu.hyperplonk.sharding import pk_merge
+
+    l = args.l
+    N = 8 * l
     # --- primitive pieces ------------------------------------------------
     from scalable_collaborative_zksnark_tpu.primitives.msm import (
         msm,
@@ -212,6 +227,57 @@ def main() -> None:
         return curve.linear_map(q[: net.local_parties], t)
 
     timeit("d_msm leader reduce (B=18)", jax.jit(reduce_fn), gt)
+
+    # the open-phase ragged shape: 3-batched chain (final_opens c_open)
+    rs3 = [
+        F.decode(F.random((P, 3, s_), 2000 + i)) for i, s_ in enumerate(sizes)
+    ]
+    ragged3_j = jax.jit(lambda ss: msm_ragged(curve, rb, list(ss), affine=True))
+    timeit(f"msm ragged chain 3x({M//2}..1)", ragged3_j, tuple(rs3))
+
+    # window-width sweep on the same ragged shape (cost-model check)
+    for c_ in (5, 6, 8):
+        rj = jax.jit(
+            lambda ss, _c=c_: msm_ragged(curve, rb, list(ss), c=_c, affine=True)
+        )
+        timeit(f"msm ragged chain 3x c={c_}", rj, tuple(rs3))
+
+    # the SORT alone at that ragged shape (suspected fixed cost)
+    from scalable_collaborative_zksnark_tpu.fields.config import LIMB_BITS
+
+    total3 = 3 * sum(sizes)
+    for c_ in (6, 8):
+        W_ = (F.L * LIMB_BITS + c_ - 1) // c_
+        keys = jax.random.randint(
+            jax.random.PRNGKey(0), (W_, total3), 0, 1 << 30, dtype=jnp.int32
+        ).astype(jnp.uint32)
+        iota = jnp.broadcast_to(
+            jnp.arange(total3, dtype=jnp.uint32)[None], (W_, total3)
+        )
+        sort_j = jax.jit(
+            lambda k, v: jax.lax.sort_key_val(k, v, dimension=1)
+        )
+        timeit(f"sort_key_val [{W_}, {total3}]", sort_j, keys, iota)
+
+    # one dense-scan mixed-add step shape: add_reset_lazy on 8192 lanes
+    from scalable_collaborative_zksnark_tpu.curves.g1 import PointJ
+
+    T = 8192
+    acc = curve.normalize(
+        jax.tree.map(lambda a: jnp.broadcast_to(a[:1], (T, a.shape[-1])), bases)
+    )
+    p2 = curve.normalize(
+        jax.tree.map(lambda a: jnp.broadcast_to(a[1:2], (T, a.shape[-1])), bases)
+    )
+    samemask = jnp.ones((T,), bool)
+
+    def steps100(a, b, m):
+        def body(i, st):
+            x, flag = curve.add_mixed_reset_lazy(st, b, m)
+            return x
+        return jax.lax.fori_loop(0, 100, body, a)
+
+    timeit("100x add_reset_lazy [8192]", jax.jit(steps100), acc, p2, samemask)
 
 
 if __name__ == "__main__":

@@ -188,3 +188,73 @@ def test_add_reset_kernel_vs_oracle(interpret_mode):
     got = cv.to_affine_ints(PointJ(x, y, z))
     want = [w if m else b for b, w, m in zip(h2, want_add, same.tolist())]
     assert got == want
+
+
+def test_horner_and_bucket_reduce_kernels_vs_oracle(interpret_mode):
+    """The fused MSM post-processing kernels (one-launch window Horner
+    and weighted bucket reduce) vs the native host oracle."""
+    if not no.available():
+        pytest.skip("native oracle unavailable")
+    from scalable_collaborative_zksnark_tpu.primitives.msm import (
+        _horner_windows,
+        _weighted_bucket_totals,
+    )
+
+    cv = bls12_381_g1()
+    rng = np.random.RandomState(11)
+    pts_int = [no.g1_mul(BLS12_381_G1_GEN, int(rng.randint(1, 10**9))) for _ in range(6)]
+    tot3 = jax.tree.map(lambda a: a.reshape(3, 2, -1), cv.from_affine_ints(pts_int))
+    got = cv.to_affine_ints(_horner_windows(cv, tot3, 2))
+    for b in range(2):
+        want = None
+        for w in range(3):
+            t = no.g1_mul(pts_int[2 * w + b], 1 << (2 * w))
+            want = t if want is None else no.g1_add(want, t)
+        assert got[b] == want, b
+
+    binds = [
+        no.g1_mul(BLS12_381_G1_GEN, int(rng.randint(1, 10**9)))
+        if rng.rand() > 0.3
+        else None
+        for _ in range(16)
+    ]
+    acc4 = jax.tree.map(lambda a: a.reshape(2, 2, 4, -1), cv.from_affine_ints(binds))
+    got = cv.to_affine_ints(_weighted_bucket_totals(cv, acc4))
+    i = 0
+    for w in range(2):
+        for c in range(2):
+            want = None
+            for k in range(1, 4):
+                p = binds[(w * 2 + c) * 4 + k]
+                if p is None:
+                    continue
+                t = no.g1_mul(p, k)
+                want = t if want is None else no.g1_add(want, t)
+            assert got[i] == want, (w, c)
+            i += 1
+
+
+def test_scalar_mul_ladder_kernel_vs_oracle(interpret_mode):
+    """One-launch double-and-add ladder kernel (short scalars keep the
+    interpreter fast; the full 256-bit path is covered on hardware by
+    bench.py --conformance)."""
+    if not no.available():
+        pytest.skip("native oracle unavailable")
+    from scalable_collaborative_zksnark_tpu.curves import pallas_g1 as pg
+    from scalable_collaborative_zksnark_tpu.fields.config import int_to_limbs
+
+    cv = bls12_381_g1()
+    rng = np.random.RandomState(12)
+    pts_int = [no.g1_mul(BLS12_381_G1_GEN, int(rng.randint(1, 10**9))) for _ in range(3)]
+    pts_int.append(None)
+    P = cv.from_affine_ints(pts_int)
+    ks = [int(rng.randint(0, 1 << 30)) for _ in range(3)] + [7]
+    ks[1] = 0
+    sc = jnp.asarray(np.stack([int_to_limbs(k, 2) for k in ks]))
+    x, y, z = pg.scalar_mul(cv.fq.spec.name, (P.x, P.y, P.z), sc)
+    got = cv.to_affine_ints(PointJ(x, y, z))
+    want = [
+        no.g1_mul(p, k) if (p is not None and k) else None
+        for p, k in zip(pts_int, ks)
+    ]
+    assert got == want
