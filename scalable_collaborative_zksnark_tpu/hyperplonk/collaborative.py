@@ -40,7 +40,12 @@ import jax.numpy as jnp
 from ..fields.fr import Field
 from ..mpc.net import PartyNet
 from ..primitives.acc_product import acc_product, c_acc_product_and_share, d_acc_product
-from ..primitives.poly_comm import PolynomialCommitment, c_commit, c_open
+from ..primitives.poly_comm import (
+    PolynomialCommitment,
+    c_commit,
+    c_open,
+    c_open_many,
+)
 from ..primitives.sumcheck import c_sumcheck_product, d_sumcheck_product, sumcheck_product
 from ..utils.timer import trace as timed
 from .params import PackedProvingParameters
@@ -119,9 +124,14 @@ def _wire_part_a(
     commits.append(pk.d_commitment.d_commit(net, local_s_p, c=c))
     # 2.c collaborative sumcheck product between s and V at r1
     proofs.append(c_sumcheck_product(pp, net, s_shares, pk.V, pk.challenge_r1))
-    # 2.d co-open V at r1/r2; di-open s at r2
-    opens.append(c_open(pk.c_commitment, pp, net, pk.V, pk.challenge_r1, c=c))
-    opens.append(c_open(pk.c_commitment, pp, net, pk.V, pk.challenge_r2, c=c))
+    # 2.d co-open V at r1/r2 (fused compute, per-open accounting);
+    # di-open s at r2
+    opens.extend(
+        c_open_many(
+            pk.c_commitment, pp, net,
+            [(pk.V, pk.challenge_r1), (pk.V, pk.challenge_r2)], c=c,
+        )
+    )
     opens.append(pk.d_commitment.d_open(net, local_s_p, pk.challenge_r2, c=c))
 
     # 2.e distributed permcheck on s and eq(r1, x)

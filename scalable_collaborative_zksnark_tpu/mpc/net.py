@@ -116,6 +116,11 @@ class PartyNet:
     def scatter_from_root(self, x, kind: str, count: int = 1, vec: bool = False, root: int = 0):
         """[N, ...] root-computed per-party values -> [P, ...]."""
         self._count_scatter(self.payload_bytes(kind, count, vec), root)
+        return self.scatter_data_only(x)
+
+    def scatter_data_only(self, x):
+        """Data path of a scatter whose bytes are counted separately
+        (fused multi-call primitives count per logical round)."""
         if self.mode == "leader":
             import jax
 

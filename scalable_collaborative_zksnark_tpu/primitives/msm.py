@@ -743,13 +743,24 @@ def _msm_ragged_core(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
     return _horner_windows(curve, totals, c)
 
 
+MAX_DENSE_ENTRIES = 1 << 22
+"""Window-chunking threshold of the dense core: the flat (window, entry)
+list materializes E = W*N gathered points (288 B each) plus sorted keys;
+beyond ~4M entries (~1.2 GB) the windows are processed in chunks under a
+lax.scan — required for the 2^22-gate north-star config, whose commit
+MSMs reach E = 2*10^8."""
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _msm_ragged_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
                       sizes: tuple, c: int, affine: bool) -> PointJ:
-    """Segmented MSM with dense-scan accumulation: no chunking, and the
-    scan depth is E/T regardless of segment-size skew (the while-loop
-    core idles every small segment until the largest one's worst bucket
-    drains — measured ~5% lane utilization on the flagship c_open)."""
+    """Segmented MSM with dense-scan accumulation: the scan depth is E/T
+    regardless of segment-size skew (the while-loop core idles every
+    small segment until the largest one's worst bucket drains — measured
+    ~5% lane utilization on the flagship c_open).  Windows are processed
+    in chunks of ``wc`` when E = W*N exceeds MAX_DENSE_ENTRIES (one
+    compiled chunk body under lax.scan; bucket sums are per-window, so
+    chunks need no cross-carries)."""
     N = scalars_std.shape[0]
     K = 1 << c
     C = len(sizes)
@@ -760,33 +771,57 @@ def _msm_ragged_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
     seg_id = np.repeat(
         np.arange(C, dtype=np.uint32), np.asarray(sizes, dtype=np.int64)
     )
-    ws = jnp.arange(W, dtype=jnp.uint32)
-    digits = jax.vmap(lambda w: _digit(scalars_std, c, w))(ws)  # [W, N]
-    key = jnp.asarray(seg_id)[None, :] * jnp.uint32(K) + digits
-    iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (W, N))
-    sorted_k, sorted_i = jax.lax.sort_key_val(key, iota, dimension=1)
+    seg_key = jnp.asarray(seg_id) * jnp.uint32(K)
+    iota = jnp.arange(N, dtype=jnp.uint32)
     ks = jnp.arange(C * K, dtype=jnp.uint32)
-    starts = jax.vmap(
-        lambda sk: jnp.searchsorted(sk, ks, side="left")
-    )(sorted_k).astype(jnp.int32)  # [W, C*K]
-    ends = jax.vmap(
-        lambda sk: jnp.searchsorted(sk, ks, side="right")
-    )(sorted_k).astype(jnp.int32)
-    lens = ends - starts
-    lens = jnp.where((ks % K == 0)[None, :], 0, lens)
 
-    keys_flat = (sorted_k + ws[:, None] * jnp.uint32(C * K)).reshape(-1)
-    pid = sorted_i.reshape(-1).astype(jnp.int32)
-    pts_flat = jax.tree.map(lambda a: jnp.take(a, pid, axis=0), aff)
-    offs = ws[:, None].astype(jnp.int32) * N
-    acc = _dense_bucket_sums(
-        curve,
-        pts_flat,
-        keys_flat,
-        (ends + offs).reshape(-1),
-        (starts + offs).reshape(-1),
-        lens.reshape(-1),
-    )
+    wc = max(min(W, MAX_DENSE_ENTRIES // max(N, 1)), 1)
+    n_chunks = -(-W // wc)
+
+    def chunk(_, wbase):
+        ws = wbase + jnp.arange(wc, dtype=jnp.uint32)
+        digs = jax.vmap(lambda w: _digit(scalars_std, c, w))(ws)  # [wc, N]
+        # padding windows (ws >= W, last chunk only) get digit 0
+        digs = jnp.where((ws < W)[:, None], digs, 0)
+        key = seg_key[None, :] + digs
+        sorted_k, sorted_i = jax.lax.sort_key_val(
+            key, jnp.broadcast_to(iota[None], (wc, N)), dimension=1
+        )
+        starts = jax.vmap(
+            lambda sk: jnp.searchsorted(sk, ks, side="left")
+        )(sorted_k).astype(jnp.int32)  # [wc, C*K]
+        ends = jax.vmap(
+            lambda sk: jnp.searchsorted(sk, ks, side="right")
+        )(sorted_k).astype(jnp.int32)
+        lens = ends - starts
+        lens = jnp.where((ks % K == 0)[None, :], 0, lens)
+        wl = jnp.arange(wc, dtype=jnp.uint32)
+        keys_flat = (sorted_k + (wl * jnp.uint32(C * K))[:, None]).reshape(-1)
+        pid = sorted_i.reshape(-1).astype(jnp.int32)
+        pts_flat = jax.tree.map(lambda a: jnp.take(a, pid, axis=0), aff)
+        offs = (wl.astype(jnp.int32) * N)[:, None]
+        accc = _dense_bucket_sums(
+            curve,
+            pts_flat,
+            keys_flat,
+            (ends + offs).reshape(-1),
+            (starts + offs).reshape(-1),
+            lens.reshape(-1),
+        )
+        return None, tuple(accc)  # coords [wc*C*K, L]
+
+    if n_chunks == 1:
+        _, acc_t = chunk(None, jnp.uint32(0))
+        acc = PointJ(*acc_t)
+    else:
+        wbases = jnp.arange(n_chunks, dtype=jnp.uint32) * jnp.uint32(wc)
+        _, accs = jax.lax.scan(chunk, None, wbases)
+        acc = PointJ(
+            *[
+                a.reshape(n_chunks * wc * C * K, -1)[: W * C * K]
+                for a in accs
+            ]
+        )
     acc = jax.tree.map(lambda a: a.reshape(W, C, K, -1), acc)
     totals = _weighted_bucket_totals(curve, acc)  # [W, C]
 

@@ -551,12 +551,16 @@ def srs_random(curve: Curve, n: int, seed: int, n_parties: int = 1,
 # ---------------------------------------------------------------------------
 # Collaborative (c_) ops on PSS shares
 # ---------------------------------------------------------------------------
-def _d_msm_ragged(curve, pp, net, bases_list, scalars_list, c=8, affine=False):
-    """d_msm for a ragged batch (one leader round): ONE segmented bucket
-    MSM for every entry, with the rank-1 leader reduce (dmsm.rs:29-40)
-    folded into the MSM scalars by group linearity (see d_msm docstring —
-    the explicit q ⊗ (w·x) ladder cost ~100 ms of sequential group-op
-    depth per call).
+def _d_msm_ragged(curve, pp, net, bases_list, scalars_list, c=8, affine=False,
+                  round_batches=None):
+    """d_msm for a ragged batch: ONE segmented bucket MSM for every
+    entry, with the rank-1 leader reduce (dmsm.rs:29-40) folded into the
+    MSM scalars by group linearity (see d_msm docstring — the explicit
+    q ⊗ (w·x) ladder cost ~100 ms of sequential group-op depth per
+    call).  ``round_batches``: per-logical-round entry counts for the
+    byte/round accounting (default: everything in one round); the fused
+    multi-open primitives pass one round per protocol-level call so
+    totals stay identical to unfused execution.
     """
     from .msm import _dmsm_prescale, _dmsm_scale_consts
 
@@ -565,11 +569,16 @@ def _d_msm_ragged(curve, pp, net, bases_list, scalars_list, c=8, affine=False):
     locs = msm_ragged(curve, bases_list, scaled, affine=affine)  # [P, ...] each
     local = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *locs)  # [P, ..., B]
     B = len(locs) * int(np.prod(locs[0].x.shape[1:-1], dtype=np.int64))
+    if round_batches is None:
+        round_batches = [B]
+    assert sum(round_batches) == B, (round_batches, B)
+    for rb in round_batches:
+        net._count_gather(net.payload_bytes("g1", rb, vec=True))
     if net.mode == "leader":
-        net._count_gather(net.payload_bytes("g1", B, vec=True))
-        net._count_scatter(net.payload_bytes("g1", B, vec=True))
+        for rb in round_batches:
+            net._count_scatter(net.payload_bytes("g1", rb, vec=True))
         return local
-    gathered = net.gather_to_root(local, "g1", count=B, vec=True)
+    gathered = net.gather_data_only(local)
     t = curve.sum(gathered, axis=0)  # [..., B] = w·x
     _, _, q_std = _dmsm_scale_consts(pp)
     tb = jax.tree.map(
@@ -577,7 +586,9 @@ def _d_msm_ragged(curve, pp, net, bases_list, scalars_list, c=8, affine=False):
     )
     qb = jnp.asarray(q_std).reshape((net.n,) + (1,) * (tb.x.ndim - 2) + (F.L,))
     out = curve.scalar_mul(tb, qb)  # [N, ..., B]
-    return net.scatter_from_root(out, "g1", count=B, vec=True)
+    for rb in round_batches:
+        net._count_scatter(net.payload_bytes("g1", rb, vec=True))
+    return net.scatter_data_only(out)
 
 
 def c_commit(srs: PolynomialCommitment, pp: PackedSharingParams, net: PartyNet,
@@ -649,3 +660,89 @@ def c_open(srs: PolynomialCommitment, pp: PackedSharingParams, net: PartyNet,
     else:
         proofs = com_shares
     return cur2[..., 0, :], proofs
+
+
+def c_open_many(srs: PolynomialCommitment, pp: PackedSharingParams,
+                net: PartyNet, items, c: int = 8):
+    """k collaborative opens of same-size tables with ONE fused compute
+    path: every item's q-vector commitments go through one segmented
+    MSM + leader round, all pss2ss transitions move in one batch, and
+    the log2(l) tail rounds fold all items together.  Byte and round
+    accounting is identical to k separate :meth:`c_open` calls (each
+    item counts its own c_commit round and pss2ss) — the same
+    count-per-item / move-once pattern as d_open_many.
+
+    ``items``: list of (peval [P, M, L], point [n, L]); no extra batch
+    dims (use one c_open with a stacked batch axis for same-point
+    groups).  Returns a list of (value [P, L], proofs [P, R]) pairs.
+    """
+    curve = srs.curve
+    F = curve.fr
+    bases_all, scals_all = [], []
+    plans = []
+    for peval, point in items:
+        assert peval.ndim == 3, "c_open_many: no extra batch dims"
+        n_loc = peval.shape[-2].bit_length() - 1
+        cur = peval
+        qs = []
+        for i in range(n_loc):
+            half = cur.shape[-2] // 2
+            lo, hi = cur[..., :half, :], cur[..., half:, :]
+            q = F.sub(hi, lo)
+            qs.append(q)
+            cur = F.add(lo, F.mul(point[i], q))
+        for q in qs:
+            level = (q.shape[-2] * pp.l).bit_length() - 1
+            b = srs.packed_powers[level]
+            if b.x.ndim == 3 and net.mode == "leader":
+                b = jax.tree.map(lambda a: a[:1], b)
+            bases_all.append(b)
+            scals_all.append(F.decode(q))
+        plans.append((point, n_loc, cur[..., 0, :]))
+    com_flat = _d_msm_ragged(
+        curve, pp, net, bases_all, scals_all, c=c, affine=srs.affine,
+        round_batches=[n_loc for _, n_loc, _ in plans],
+    )  # [P, sum n_loc]
+
+    # batched pss2ss (data once, counted per item)
+    for _ in plans:
+        net._count_gather(net.payload_bytes("fr", 1))
+    finals = jnp.stack([z for _, _, z in plans], axis=-2)  # [P, k, L]
+    ss = pss2ss(pp, net, finals, count=False)  # [P, k, l, L]
+    for _ in plans:
+        net._count_scatter(net.payload_bytes("fr", pp.l, vec=True))
+
+    # phase-2 folds: per-item continuation challenges, shared rounds
+    log_l = pp.l.bit_length() - 1
+    cur2 = ss
+    extra = []
+    for i in range(log_l):
+        half = cur2.shape[-2] // 2
+        lo, hi = cur2[..., :half, :], cur2[..., half:, :]
+        q = F.sub(hi, lo)
+        level = (q.shape[-2] * pp.l).bit_length() - 1
+        b = srs.packed_powers[level]
+        if b.x.ndim == 3 and net.mode == "leader":
+            b = jax.tree.map(lambda a: a[:1], b)
+        extra.append(msm(curve, b, F.decode(q), c=c, affine=srs.affine))  # [P, k]
+        ch = jnp.stack(
+            [point[n_loc + i] for point, n_loc, _ in plans], axis=0
+        )  # [k, L]
+        cur2 = F.add(lo, F.mul(ch[None, :, None, :], q))
+    outs = []
+    off = 0
+    for idx, (point, n_loc, _) in enumerate(plans):
+        coms = jax.tree.map(lambda a: a[..., off : off + n_loc, :], com_flat)
+        off += n_loc
+        if extra:
+            ex = jax.tree.map(
+                lambda *xs: jnp.stack([x[..., idx, :] for x in xs], axis=-2),
+                *extra,
+            )
+            proofs = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=-2), coms, ex
+            )
+        else:
+            proofs = coms
+        outs.append((cur2[..., idx, 0, :], proofs))
+    return outs

@@ -81,7 +81,8 @@ def d_unpack2_many(
     return per_slot.reshape(per_slot.shape[:-3] + (B * pp.l, pp.field.L))
 
 
-def pss2ss(pp: PackedSharingParams, net: PartyNet, share: jnp.ndarray) -> jnp.ndarray:
+def pss2ss(pp: PackedSharingParams, net: PartyNet, share: jnp.ndarray,
+           count: bool = True) -> jnp.ndarray:
     """share [P, ..., L] (one packed share per party per batch slot) ->
     [P, ..., l, L] regular shares.
 
@@ -90,10 +91,15 @@ def pss2ss(pp: PackedSharingParams, net: PartyNet, share: jnp.ndarray) -> jnp.nd
     Communication: one gather of B field elements + one scatter of B*l
     field elements per party (unpack.rs:82-93); extra batch dims ride the
     same round (the protocols' round-compression axis, SURVEY §2.6.8).
+    ``count=False`` moves the data without byte accounting (fused
+    multi-open primitives count per logical pss2ss instead).
     """
     F = pp.field
     B = int(np.prod(share.shape[1:-1], dtype=np.int64)) if share.ndim > 2 else 1
-    g = net.gather_to_root(share, "fr", count=B, vec=B > 1)  # [N, ..., L]
+    if count:
+        g = net.gather_to_root(share, "fr", count=B, vec=B > 1)  # [N, ..., L]
+    else:
+        g = net.gather_data_only(share)
     cols = jnp.moveaxis(g, 0, -2)  # [..., N, L]
     v = pp.unpack(cols)  # [..., l, L]
     u = _pack_single_u(pp)  # [n, L]
@@ -102,4 +108,6 @@ def pss2ss(pp: PackedSharingParams, net: PartyNet, share: jnp.ndarray) -> jnp.nd
         u.reshape((pp.n,) + (1,) * (len(bshape) + 1) + (F.L,)),
         v[None],
     )  # [n, ..., l, L]
-    return net.scatter_from_root(out, "fr", count=B * pp.l, vec=True)
+    if count:
+        return net.scatter_from_root(out, "fr", count=B * pp.l, vec=True)
+    return net.scatter_data_only(out)

@@ -261,3 +261,23 @@ def test_msm_batched_dense_vs_oracle():
     got = cv.to_affine_ints(out)
     for b in range(B):
         assert got[b] == host_msm(host_pts, ss[b]), b
+
+
+def test_chunked_dense_msm_vs_oracle(monkeypatch):
+    """Window-chunked dense core (MAX_DENSE_ENTRIES exceeded — the
+    north-star n=22 regime where E = W*N cannot materialize at once)."""
+    from scalable_collaborative_zksnark_tpu.primitives import msm as M
+
+    rng = np.random.RandomState(9)
+    N = 40
+    ks = [int(int.from_bytes(rng.bytes(20), "little")) for _ in range(N)]
+    fs = [int.from_bytes(rng.bytes(31), "little") % Fr.p for _ in range(N)]
+    pts_int = [hc.g1_mul(hc.G1_GEN, k) for k in ks]
+    pts = C.normalize(C.from_affine_ints(pts_int))
+    from scalable_collaborative_zksnark_tpu.fields.config import int_to_limbs
+
+    sc = jnp.asarray(np.stack([int_to_limbs(f, Fr.L) for f in fs]))
+    want = [host_msm(pts_int[:25], fs[:25]), host_msm(pts_int[25:], fs[25:])]
+    monkeypatch.setattr(M, "MAX_DENSE_ENTRIES", 128)  # wc=3 -> 22 chunks
+    out = M._msm_ragged_dense(C, pts, sc, (25, 15), 4, True)
+    assert C.to_affine_ints(out) == want

@@ -143,3 +143,34 @@ def test_srs_ugly_structure():
         honest.powers_of_g[1]
     )  # value-inconsistent with the plain chain by construction
     assert len(srs.powers_of_g2) == n + 1
+
+
+def test_c_open_many_equals_separate_opens():
+    """Fused multi-open: bit-exact outputs and identical byte/round
+    accounting vs two separate c_open calls (both modes)."""
+    from scalable_collaborative_zksnark_tpu.hyperplonk import (
+        packed_proving_parameters,
+    )
+    from scalable_collaborative_zksnark_tpu.mpc.net import PartyNet
+    from scalable_collaborative_zksnark_tpu.primitives.poly_comm import (
+        c_open,
+        c_open_many,
+    )
+
+    for mode in ("leader", "sim"):
+        net0 = PartyNet(16, mode=mode)
+        pk = packed_proving_parameters(6, 2, net0)
+        net1 = PartyNet(16, mode=mode)
+        v1, p1 = c_open(pk.c_commitment, pk.pp, net1, pk.V, pk.challenge_r1)
+        v2, p2 = c_open(pk.c_commitment, pk.pp, net1, pk.V, pk.challenge_r2)
+        net2 = PartyNet(16, mode=mode)
+        (w1, q1), (w2, q2) = c_open_many(
+            pk.c_commitment, pk.pp, net2,
+            [(pk.V, pk.challenge_r1), (pk.V, pk.challenge_r2)],
+        )
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(w2))
+        for a, b in zip(jax.tree.leaves((p1, p2)), jax.tree.leaves((q1, q2))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert net1.comm(0) == net2.comm(0)
+        assert net1.rounds == net2.rounds
