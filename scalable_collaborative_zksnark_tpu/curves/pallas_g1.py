@@ -445,119 +445,6 @@ def _horner_call(fq_name: str, W: int, Cp: int, c: int):
     )
 
 
-def _bucket_reduce_kernel(bx, by, bz, p_ref, ox, oy, oz, *, p_np, n0inv, L,
-                          r_np, K, C):
-    """Weighted bucket reduce sum_{k>=1} k*B_k for ONE window, in ONE
-    launch: grid over windows, block = [L, K*C] bucket tiles (bucket
-    k's C segment columns at columns [k*C, (k+1)*C)).
-
-    Two in-kernel Hillis-Steele passes over the bucket axis (static
-    column shifts): (1) reversed inclusive prefix sum so column k holds
-    S_k = sum_{j>=k} B_j, (2) plain prefix over S_1..S_{K-1} whose last
-    column is the weighted total.  The XLA-level form paid ~2*log2(K)
-    kernel launches per call."""
-    one_rows = jnp.stack(
-        [jnp.full_like(bx[0, 0, :], r_np[j]) for j in range(L)], axis=0
-    )
-    cur = (bx[0], by[0], bz[0])  # [L, K*C], bucket-major columns
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, K * C), 1) // C  # bucket k
-
-    def shifted_add(state, sh, reverse, lo_k):
-        # add the block shifted by sh buckets (toward lower columns when
-        # reverse) into lanes whose bucket index admits it
-        X, Y, Z = state
-        scols = sh * C
-        zpad = jnp.zeros((L, scols), jnp.uint32)
-        if reverse:  # suffix direction: cur[k] += cur[k + sh]
-            shX = jnp.concatenate([X[:, scols:], zpad], axis=1)
-            shY = jnp.concatenate([Y[:, scols:], one_pad(one_rows, scols)], axis=1)
-            shZ = jnp.concatenate([Z[:, scols:], zpad], axis=1)
-            ok = (col < K - sh) & (col >= lo_k)
-        else:  # prefix: cur[k] += cur[k - sh]
-            shX = jnp.concatenate([zpad, X[:, : -scols]], axis=1)
-            shY = jnp.concatenate([one_pad(one_rows, scols), Y[:, : -scols]], axis=1)
-            shZ = jnp.concatenate([zpad, Z[:, : -scols]], axis=1)
-            ok = (col >= lo_k + sh)
-        added = _add_t(X, Y, Z, shX, shY, shZ, p_np, n0inv, L, one_rows,
-                       False, p_ref[:])
-        return _select_t(ok[0], added, (X, Y, Z))
-
-    def one_pad(rows, scols):
-        return jnp.broadcast_to(rows[:, :1], (L, scols)) if scols else rows[:, :0]
-
-    sh = 1
-    while sh < K:  # pass 1: S_k = sum_{j >= k} B_j
-        cur = shifted_add(cur, sh, True, 0)
-        sh *= 2
-    sh = 1
-    while sh < K:  # pass 2: prefix over S_1.. (bucket 0 excluded)
-        cur = shifted_add(cur, sh, False, 1)
-        sh *= 2
-    # total = last prefix column (bucket K-1)
-    ox[0] = cur[0][:, (K - 1) * C :]
-    oy[0] = cur[1][:, (K - 1) * C :]
-    oz[0] = cur[2][:, (K - 1) * C :]
-
-
-@functools.lru_cache(maxsize=None)
-def _bucket_reduce_call(fq_name: str, W: int, K: int, C: int):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from ..fields.config import FIELDS
-    from ..fields.pallas_fr import _interpret
-
-    spec = FIELDS[fq_name]
-    L = spec.num_limbs
-    kern = functools.partial(
-        _bucket_reduce_kernel,
-        p_np=tuple(int(v) for v in spec.p_limbs),
-        n0inv=int(spec.n0inv),
-        L=L,
-        r_np=tuple(int(v) for v in spec.r_limbs),
-        K=K,
-        C=C,
-    )
-    bspec = pl.BlockSpec((L, K * C), lambda w: (w, 0), memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((L, C), lambda w: (w, 0), memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((L, 1), lambda w: (0, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kern,
-        out_shape=[jax.ShapeDtypeStruct((W, L, C), jnp.uint32)] * 3,
-        grid=(W,),
-        in_specs=[
-            pl.BlockSpec((1, L, K * C), lambda w: (w, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ] * 3 + [pspec],
-        out_specs=[
-            pl.BlockSpec((1, L, C), lambda w: (w, 0, 0),
-                         memory_space=pltpu.VMEM)
-        ] * 3,
-        interpret=_interpret(),
-    )
-
-
-def bucket_reduce(fq_name: str, coords, K: int):
-    """sum_{k>=1} k*B_k per (window, segment-column).
-
-    coords: tuple of [W, K, C_cols, L] bucket sums (k ascending).
-    Returns tuple of [W, C_cols, L] window totals."""
-    W, _, C = coords[0].shape[0], coords[0].shape[1], coords[0].shape[2]
-    L = coords[0].shape[-1]
-    lanes_c = C  # caller pads C to a lane-friendly count
-    tiles = []
-    for a in coords:
-        # [W, K, C, L] -> [W, L, K*C] (bucket-major columns)
-        t = jnp.moveaxis(a, -1, 1).reshape(W, L, K * C)
-        tiles.append(t)
-    from ..fields.config import FIELDS
-
-    spec = FIELDS[fq_name]
-    p_col = jnp.asarray(spec.p_limbs, jnp.uint32).reshape(spec.num_limbs, 1)
-    out = _bucket_reduce_call(fq_name, W, K, C)(*tiles, p_col)
-    return tuple(jnp.moveaxis(t, 1, -1) for t in out)  # [W, C, L]
-
-
 def scalar_mul(fq_name: str, coords, scalars_std):
     """One-launch double-and-add: coords tuple of [..., L], scalars
     [..., Lr] standard-form (any per-element scalars).  Returns coord

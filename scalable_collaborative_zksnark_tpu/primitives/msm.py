@@ -138,28 +138,15 @@ def _horner_windows(curve: Curve, totals: PointJ, c: int) -> PointJ:
 def _weighted_bucket_totals(curve: Curve, acc_wck: PointJ) -> PointJ:
     """sum_{k>=1} k*B_k per (window, segment): [W, C, K, L] -> [W, C, L].
 
-    On TPU both Hillis-Steele passes run inside ONE pallas kernel per
-    window (pallas_g1.bucket_reduce) — the XLA-level form paid
-    ~2*log2(K) kernel launches (~1 ms each) per MSM call."""
-    W, C, K = acc_wck.x.shape[0], acc_wck.x.shape[1], acc_wck.x.shape[2]
-    pg = curve._pallas()
-    if pg is not None:
-        import os
-
-        lanes = 8 if os.environ.get("SCZK_PALLAS_INTERPRET") else 128
-        Cp = max(((C + lanes - 1) // lanes) * lanes, lanes)
-        a = acc_wck
-        if Cp != C:
-            a = jax.tree.map(
-                lambda t: jnp.concatenate(
-                    [t, jnp.zeros((W, Cp - C) + t.shape[2:], t.dtype)], axis=1
-                ),
-                a,
-            )
-        # [W, Cp, K, L] -> [W, K, Cp, L]
-        a = jax.tree.map(lambda t: jnp.swapaxes(t, 1, 2), a)
-        x, y, z = pg.bucket_reduce(curve.fq.spec.name, (a.x, a.y, a.z), K)
-        return jax.tree.map(lambda t: t[:, :C], PointJ(x, y, z))
+    Reversed inclusive prefix-scan over the bucket axis then a tree sum
+    of the suffixes — ~2*log2(K) add rounds at W*C*K lanes.  A fused
+    per-window pallas kernel was tried and REJECTED: the grid serializes
+    windows that XLA runs lane-parallel per round, and the lane padding
+    of the segment axis made it both slower (~2.5x at the ragged-chain
+    shape) and pathologically slow to compile at K = 256 blocks.  The
+    reduce is ALU-bound; only a smaller K (window width c) or fewer MSM
+    calls shrink it."""
+    K = acc_wck.x.shape[2]
     rev = jax.tree.map(lambda t: t[:, :, ::-1], acc_wck)
     pref = _prefix_scan_axis1(curve, rev, axis=2)
     suff = jax.tree.map(lambda t: t[:, :, : K - 1], pref)

@@ -190,9 +190,9 @@ def test_add_reset_kernel_vs_oracle(interpret_mode):
     assert got == want
 
 
-def test_horner_and_bucket_reduce_kernels_vs_oracle(interpret_mode):
-    """The fused MSM post-processing kernels (one-launch window Horner
-    and weighted bucket reduce) vs the native host oracle."""
+def test_horner_kernel_and_bucket_totals_vs_oracle(interpret_mode):
+    """The fused window-Horner kernel and the weighted bucket reduce
+    (XLA prefix-scan form) vs the native host oracle."""
     if not no.available():
         pytest.skip("native oracle unavailable")
     from scalable_collaborative_zksnark_tpu.primitives.msm import (
