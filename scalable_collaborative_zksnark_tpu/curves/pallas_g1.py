@@ -363,29 +363,42 @@ def _horner_kernel(tx, ty, tz, p_ref, ox, oy, oz, *, p_np, n0inv, L, r_np,
     call at W=32, c=8); here the whole combine is VMEM-resident."""
     import jax
 
+    from jax.experimental import pallas as pl
+
     one_rows = jnp.stack(
         [jnp.full_like(tx[0, 0, :], r_np[j]) for j in range(L)], axis=0
     )
     zero = jnp.zeros_like(tx[0])
     acc0 = (zero, one_rows, zero)
-    # window W-1 first: operands arrive MSB-window-major (caller flips)
-    state0 = (tx[:], ty[:], tz[:], *acc0)
 
-    def body(_, st):
-        TX, TY, TZ, aX, aY, aZ = st
-        acc = (aX, aY, aZ)
+    # window i is loaded from the ref per iteration (dynamic slice on the
+    # leading dim) — an earlier form carried rotating COPIES of the whole
+    # [W, L, C] block through the loop, doubling scoped VMEM and OOMing
+    # at W = 128 (18.5 MB > the 16 MB scoped limit)
+    def body(i, acc):
         acc = jax.lax.fori_loop(
             0, c, lambda j, a: _double_t(*a, p_np, n0inv, L, p_ref[:]), acc
         )
-        acc = _add_t(acc[0], acc[1], acc[2], TX[0], TY[0], TZ[0],
-                     p_np, n0inv, L, one_rows, False, p_ref[:])
-        rot = lambda T: jnp.concatenate([T[1:], T[:1]], axis=0)
-        return rot(TX), rot(TY), rot(TZ), *acc
+        TX = tx[pl.ds(i, 1)][0]
+        TY = ty[pl.ds(i, 1)][0]
+        TZ = tz[pl.ds(i, 1)][0]
+        return _add_t(acc[0], acc[1], acc[2], TX, TY, TZ,
+                      p_np, n0inv, L, one_rows, False, p_ref[:])
 
-    st = jax.lax.fori_loop(0, W, body, state0)
-    ox[:] = st[3]
-    oy[:] = st[4]
-    oz[:] = st[5]
+    st = jax.lax.fori_loop(0, W, body, acc0)
+    ox[:] = st[0]
+    oy[:] = st[1]
+    oz[:] = st[2]
+
+
+HORNER_VMEM_BUDGET = 6 * 1024 * 1024
+"""Max bytes of window-total operands per horner launch.  The kernel
+holds the whole [W, L, Cp] block in VMEM (scoped limit 16 MiB, shared
+with the accumulator and Mosaic temporaries); beyond the budget the
+combine runs hierarchically — chunk partials P_b, then one more horner
+with window width c*Wc over the B partials (res = sum_b 2^(c*Wc*b) P_b,
+MSB chunk first).  Observed OOM without this: W = 128 (c = 2 ragged
+opens), Cp = 256 -> 18.5 MiB scoped."""
 
 
 def horner(fq_name: str, coords, c: int):
@@ -399,6 +412,42 @@ def horner(fq_name: str, coords, c: int):
     L = coords[0].shape[-1]
     lanes = 8 if _interpret() else 128
     Cp = max(((C + lanes - 1) // lanes) * lanes, lanes)
+    spec = FIELDS[fq_name]
+
+    per_w = 3 * L * Cp * 4
+    if W > 1 and W * per_w > HORNER_VMEM_BUDGET:
+        Wc = max(1, HORNER_VMEM_BUDGET // per_w)
+        B = -(-W // Wc)
+        pad = B * Wc - W
+        if pad:
+            # append MSB-side identity windows (Jacobian infinity:
+            # x = 0, y = one, z = 0).  The window axis ascends LSB->MSB,
+            # so appended identities carry the HIGHEST local weights of
+            # the last chunk and contribute nothing to its partial
+            def padw(a, j):
+                fill = (
+                    jnp.broadcast_to(
+                        jnp.asarray(spec.r_limbs, a.dtype), (pad,) + a.shape[1:]
+                    )
+                    if j == 1
+                    else jnp.zeros((pad,) + a.shape[1:], a.dtype)
+                )
+                return jnp.concatenate([a, fill], axis=0)
+
+            coords = tuple(padw(a, j) for j, a in enumerate(coords))
+        parts = [
+            horner(
+                fq_name,
+                tuple(a[b * Wc : (b + 1) * Wc] for a in coords),
+                c,
+            )
+            for b in range(B)
+        ]
+        stacked = tuple(
+            jnp.stack([p[j] for p in parts], axis=0) for j in range(3)
+        )
+        return horner(fq_name, stacked, c * Wc)
+
     tiles = []
     for a in coords:
         t = jnp.moveaxis(a[::-1], -1, -2)  # [W, L, C], MSB window first
@@ -407,7 +456,6 @@ def horner(fq_name: str, coords, c: int):
                 [t, jnp.zeros((W, L, Cp - C), jnp.uint32)], axis=-1
             )
         tiles.append(t)
-    spec = FIELDS[fq_name]
     p_np = tuple(int(v) for v in spec.p_limbs)
     r_np = tuple(int(v) for v in spec.r_limbs)
     call = _horner_call(fq_name, W, Cp, int(c))

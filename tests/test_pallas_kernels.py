@@ -234,6 +234,40 @@ def test_horner_kernel_and_bucket_totals_vs_oracle(interpret_mode):
             i += 1
 
 
+def test_horner_chunked_vs_oracle(interpret_mode):
+    """The hierarchical (VMEM-budgeted) window combine: W split into
+    chunks, partials recombined with window width c*Wc plus MSB identity
+    padding.  ~9 min of XLA:CPU kernel compiles, so gated; the TPU bench
+    exercises the same path at the ragged-open shapes every round."""
+    if not os.environ.get("SCZK_SLOW_TESTS"):
+        pytest.skip("set SCZK_SLOW_TESTS=1 for the chunked-horner case")
+    if not no.available():
+        pytest.skip("native oracle unavailable")
+    from scalable_collaborative_zksnark_tpu.curves import pallas_g1 as pg
+    from scalable_collaborative_zksnark_tpu.primitives.msm import _horner_windows
+
+    cv = bls12_381_g1()
+    rng = np.random.RandomState(11)
+    W, B = 5, 2
+    pts_int = [
+        no.g1_mul(BLS12_381_G1_GEN, int(rng.randint(1, 10**9)))
+        for _ in range(W * B)
+    ]
+    tot = jax.tree.map(lambda a: a.reshape(W, B, -1), cv.from_affine_ints(pts_int))
+    old = pg.HORNER_VMEM_BUDGET
+    try:
+        pg.HORNER_VMEM_BUDGET = 3 * 24 * 8 * 4 * 2  # 2 windows/launch -> 3 chunks
+        got = cv.to_affine_ints(_horner_windows(cv, tot, 2))
+    finally:
+        pg.HORNER_VMEM_BUDGET = old
+    for b in range(B):
+        want = None
+        for w in range(W):
+            t = no.g1_mul(pts_int[B * w + b], 1 << (2 * w))
+            want = t if want is None else no.g1_add(want, t)
+        assert got[b] == want, b
+
+
 def test_scalar_mul_ladder_kernel_vs_oracle(interpret_mode):
     """One-launch double-and-add ladder kernel (short scalars keep the
     interpreter fast; the full 256-bit path is covered on hardware by
