@@ -131,6 +131,9 @@ def test_field_kernels_vs_ints(interpret_mode):
 def test_fused_sumcheck_phase_vs_jnp(interpret_mode):
     """The fused full-phase sumcheck-product kernel must emit the exact
     canonical messages and folded values of the unfused jnp round loop."""
+    if not os.environ.get("SCZK_SLOW_TESTS"):
+        pytest.skip("~2-4 min of XLA:CPU kernel compile; covered on real "
+                    "TPU by bench.py --conformance (set SCZK_SLOW_TESTS=1)")
     from scalable_collaborative_zksnark_tpu.fields.fr import get_field
     from scalable_collaborative_zksnark_tpu.primitives import pallas_sumcheck as psc
     from scalable_collaborative_zksnark_tpu.primitives.sumcheck import (
@@ -155,6 +158,9 @@ def test_fused_sumcheck_phase_vs_jnp(interpret_mode):
 def test_sumcheck_peel_then_fuse(interpret_mode, monkeypatch):
     """Tables above the fused kernel's exact-u32 bound peel unfused
     rounds then fuse the tail — bitwise equal to the pure path."""
+    if not os.environ.get("SCZK_SLOW_TESTS"):
+        pytest.skip("~2-4 min of XLA:CPU kernel compile; covered on real "
+                    "TPU by bench.py --conformance (set SCZK_SLOW_TESTS=1)")
     from scalable_collaborative_zksnark_tpu.fields.fr import get_field
     from scalable_collaborative_zksnark_tpu.primitives import (
         pallas_sumcheck as psc,
@@ -272,6 +278,9 @@ def test_scalar_mul_ladder_kernel_vs_oracle(interpret_mode):
     """One-launch double-and-add ladder kernel (short scalars keep the
     interpreter fast; the full 256-bit path is covered on hardware by
     bench.py --conformance)."""
+    if not os.environ.get("SCZK_SLOW_TESTS"):
+        pytest.skip("~2-4 min of XLA:CPU kernel compile; covered on real "
+                    "TPU by bench.py --conformance (set SCZK_SLOW_TESTS=1)")
     if not no.available():
         pytest.skip("native oracle unavailable")
     from scalable_collaborative_zksnark_tpu.curves import pallas_g1 as pg
