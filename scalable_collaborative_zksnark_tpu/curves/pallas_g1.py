@@ -493,6 +493,102 @@ def _horner_call(fq_name: str, W: int, Cp: int, c: int):
     )
 
 
+def _bucket_serial_kernel(bx, by, bz, p_ref, ox, oy, oz, ax, ay, az, *,
+                          p_np, n0inv, L, r_np, K):
+    """One grid step per bucket, ALL (window, segment) pairs in lanes.
+
+    Computes sum_{k>=1} k*B_k by the classic running-suffix recurrence
+    acc += B_k (k descending), total += acc — 2(K-1) full adds total,
+    delivered as ONE kernel with the K axis on the grid (inherently
+    serial) and the W*C axis on lanes (the parallel one).  This is the
+    OPPOSITE factorization of the rejected per-window-grid kernel, which
+    serialized the parallel axis."""
+    from jax.experimental import pallas as pl
+
+    g = pl.program_id(0)
+    one_rows = jnp.stack(
+        [jnp.full_like(bx[0, 0, :], r_np[j]) for j in range(L)], axis=0
+    )
+    X, Y, Z = bx[0], by[0], bz[0]  # bucket K-1-g block [L, Cp]
+
+    @pl.when(g == 0)
+    def _init():
+        ax[:] = X
+        ay[:] = Y
+        az[:] = Z
+        ox[:] = X
+        oy[:] = Y
+        oz[:] = Z
+
+    @pl.when(g > 0)
+    def _step():
+        acc = _add_t(ax[:], ay[:], az[:], X, Y, Z, p_np, n0inv, L,
+                     one_rows, False, p_ref[:])
+        ax[:], ay[:], az[:] = acc
+        tot = _add_t(ox[:], oy[:], oz[:], acc[0], acc[1], acc[2], p_np,
+                     n0inv, L, one_rows, False, p_ref[:])
+        ox[:], oy[:], oz[:] = tot
+
+
+@functools.lru_cache(maxsize=None)
+def _bucket_serial_call(fq_name: str, K: int, Cp: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from ..fields.config import FIELDS
+    from ..fields.pallas_fr import _interpret
+
+    spec = FIELDS[fq_name]
+    L = spec.num_limbs
+    kern = functools.partial(
+        _bucket_serial_kernel,
+        p_np=tuple(int(v) for v in spec.p_limbs),
+        n0inv=int(spec.n0inv),
+        L=L,
+        r_np=tuple(int(v) for v in spec.r_limbs),
+        K=K,
+    )
+    bspec = pl.BlockSpec((1, L, Cp), lambda g: (K - 1 - g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((L, 1), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((L, Cp), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((L, Cp), jnp.uint32)] * 3,
+        grid=(K - 1,),
+        in_specs=[bspec] * 3 + [pspec],
+        out_specs=[ospec] * 3,
+        scratch_shapes=[pltpu.VMEM((L, Cp), jnp.uint32)] * 3,
+        interpret=_interpret(),
+    )
+
+
+def bucket_serial_reduce(fq_name: str, coords, K: int):
+    """sum_{k>=1} k*B_k over the bucket axis.
+
+    coords: tuple of [K, M, L] bucket sums (k ascending, M = W*C flat
+    lane axis).  Returns tuple of [M, L]."""
+    from ..fields.config import FIELDS
+    from ..fields.pallas_fr import _interpret
+
+    M = coords[0].shape[1]
+    L = coords[0].shape[-1]
+    lanes = 8 if _interpret() else 128
+    Mp = max(((M + lanes - 1) // lanes) * lanes, lanes)
+    tiles = []
+    for a in coords:
+        t = jnp.moveaxis(a, -1, 1)  # [K, L, M]
+        if Mp != M:
+            t = jnp.concatenate(
+                [t, jnp.zeros((K, L, Mp - M), jnp.uint32)], axis=-1
+            )
+        tiles.append(t)
+    spec = FIELDS[fq_name]
+    out = _bucket_serial_call(fq_name, K, Mp)(
+        *tiles, jnp.asarray(spec.p_limbs, jnp.uint32).reshape(L, 1)
+    )
+    return tuple(jnp.moveaxis(t[:, :M], 0, -1) for t in out)
+
+
 def scalar_mul(fq_name: str, coords, scalars_std):
     """One-launch double-and-add: coords tuple of [..., L], scalars
     [..., Lr] standard-form (any per-element scalars).  Returns coord

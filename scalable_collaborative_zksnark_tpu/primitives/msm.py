@@ -138,19 +138,42 @@ def _horner_windows(curve: Curve, totals: PointJ, c: int) -> PointJ:
 def _weighted_bucket_totals(curve: Curve, acc_wck: PointJ) -> PointJ:
     """sum_{k>=1} k*B_k per (window, segment): [W, C, K, L] -> [W, C, L].
 
-    Reversed inclusive prefix-scan over the bucket axis then a tree sum
-    of the suffixes — ~2*log2(K) add rounds at W*C*K lanes.  A fused
-    per-window pallas kernel was tried and REJECTED: the grid serializes
-    windows that XLA runs lane-parallel per round, and the lane padding
-    of the segment axis made it both slower (~2.5x at the ragged-chain
-    shape) and pathologically slow to compile at K = 256 blocks.  The
-    reduce is ALU-bound; only a smaller K (window width c) or fewer MSM
-    calls shrink it."""
-    K = acc_wck.x.shape[2]
+    Two forms, chosen by the parallel-lane count W*C:
+
+    * many segments (W*C >= SERIAL_REDUCE_MIN_LANES): ONE pallas kernel
+      with the inherently-serial bucket axis on the GRID and all (window,
+      segment) pairs on lanes (pallas_g1.bucket_serial_reduce) — the
+      running-suffix recurrence does 2(K-1) full adds at W*C lanes,
+      K/log2(K)-times less ALU work than the Hillis-Steele rounds below.
+      (An earlier kernel gridding over WINDOWS — serializing the parallel
+      axis — was 2.5x slower and is gone; see docs/PERF.md.)
+    * few segments: reversed inclusive prefix-scan then a tree sum of
+      the suffixes — ~2*log2(K) XLA add rounds at W*C*K lanes, which
+      beats the serial kernel when W*C alone cannot fill the VPU."""
+    W, C, K = acc_wck.x.shape[0], acc_wck.x.shape[1], acc_wck.x.shape[2]
+    pg = curve._pallas()
+    if pg is not None and W * C >= SERIAL_REDUCE_MIN_LANES:
+        flat = jax.tree.map(
+            lambda t: jnp.moveaxis(t, 2, 0).reshape(K, W * C, t.shape[-1]),
+            acc_wck,
+        )
+        x, y, z = pg.bucket_serial_reduce(
+            curve.fq.spec.name, (flat.x, flat.y, flat.z), K
+        )
+        return jax.tree.map(
+            lambda t: t.reshape(W, C, t.shape[-1]), PointJ(x, y, z)
+        )
     rev = jax.tree.map(lambda t: t[:, :, ::-1], acc_wck)
     pref = _prefix_scan_axis1(curve, rev, axis=2)
     suff = jax.tree.map(lambda t: t[:, :, : K - 1], pref)
     return curve.sum(suff, axis=2)
+
+
+SERIAL_REDUCE_MIN_LANES = 512
+"""Below this many (window, segment) lanes the serial-bucket kernel
+cannot fill the VPU (a [L, 128]-padded step is latency-bound) and the
+wide Hillis-Steele rounds win; above it the serial form's K vs K*log2(K)
+work advantage dominates.  Flagship ragged chains run W*C ~ 1.4-2k."""
 
 
 def _prefix_scan_axis1(curve: Curve, pts: PointJ, axis: int = 1) -> PointJ:
@@ -650,12 +673,19 @@ def _pick_c(max_size: int) -> int:
 def _pick_c_dense(total_n: int, n_segments: int, nbits: int = 256) -> int:
     """Window size for the dense-scan ragged core by explicit cost model:
     accumulation does W * total_n mixed adds; the weighted bucket reduce
-    does ~1.3 * W * n_segments * 2^c * c full adds (suffix prefix-scan).
-    With many small segments the reduce dominates unless c shrinks."""
+    does either 2*(K-1) full adds at W*C lanes (serial-bucket kernel,
+    ~3.4*W*C*K mixed-add-lane equivalents) or ~1.3*W*C*K*c lane-adds
+    (Hillis-Steele rounds) depending on the runtime lane gate — model
+    both so c tracks the executed path."""
     best_c, best_cost = 4, None
     for c in (2, 3, 4, 5, 6, 8):
         W = -(-nbits // c)
-        cost = W * total_n + 1.3 * W * n_segments * (1 << c) * c
+        K = 1 << c
+        if W * n_segments >= SERIAL_REDUCE_MIN_LANES:
+            red = 3.4 * W * n_segments * K
+        else:
+            red = 1.3 * W * n_segments * K * c
+        cost = W * total_n + red
         if best_cost is None or cost < best_cost:
             best_c, best_cost = c, cost
     return best_c

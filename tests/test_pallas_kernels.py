@@ -225,7 +225,16 @@ def test_horner_kernel_and_bucket_totals_vs_oracle(interpret_mode):
         for _ in range(16)
     ]
     acc4 = jax.tree.map(lambda a: a.reshape(2, 2, 4, -1), cv.from_affine_ints(binds))
+    import scalable_collaborative_zksnark_tpu.primitives.msm as msm_mod
+
     got = cv.to_affine_ints(_weighted_bucket_totals(cv, acc4))
+    # the serial-bucket kernel (grid over K, lanes = W*C) must agree
+    old_gate = msm_mod.SERIAL_REDUCE_MIN_LANES
+    try:
+        msm_mod.SERIAL_REDUCE_MIN_LANES = 1
+        got_serial = cv.to_affine_ints(_weighted_bucket_totals(cv, acc4))
+    finally:
+        msm_mod.SERIAL_REDUCE_MIN_LANES = old_gate
     i = 0
     for w in range(2):
         for c in range(2):
@@ -237,6 +246,7 @@ def test_horner_kernel_and_bucket_totals_vs_oracle(interpret_mode):
                 t = no.g1_mul(p, k)
                 want = t if want is None else no.g1_add(want, t)
             assert got[i] == want, (w, c)
+            assert got_serial[i] == want, ("serial", w, c)
             i += 1
 
 
