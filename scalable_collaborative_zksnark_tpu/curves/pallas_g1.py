@@ -505,11 +505,11 @@ def _bucket_serial_kernel(bx, by, bz, p_ref, ox, oy, oz, ax, ay, az, *,
     serialized the parallel axis."""
     from jax.experimental import pallas as pl
 
-    g = pl.program_id(0)
+    g = pl.program_id(1)  # bucket axis (fastest); axis 0 = column chunk
     one_rows = jnp.stack(
         [jnp.full_like(bx[0, 0, :], r_np[j]) for j in range(L)], axis=0
     )
-    X, Y, Z = bx[0], by[0], bz[0]  # bucket K-1-g block [L, Cp]
+    X, Y, Z = bx[0], by[0], bz[0]  # bucket K-1-g block [L, CH]
 
     @pl.when(g == 0)
     def _init():
@@ -530,8 +530,15 @@ def _bucket_serial_kernel(bx, by, bz, p_ref, ox, oy, oz, ax, ay, az, *,
         ox[:], oy[:], oz[:] = tot
 
 
+SERIAL_REDUCE_LANE_CHUNK = 1024
+"""Lanes per serial-reduce block.  The kernel's two chained full adds
+spill ~5.5 KB of formula temporaries per lane to scoped VMEM (observed:
+21 MiB at 3840 lanes > the 16 MiB limit); 1024-lane blocks stay ~6 MiB.
+Wider W*C runs as independent column chunks on the outer grid axis."""
+
+
 @functools.lru_cache(maxsize=None)
-def _bucket_serial_call(fq_name: str, K: int, Cp: int):
+def _bucket_serial_call(fq_name: str, K: int, Mp: int, CH: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..fields.config import FIELDS
@@ -547,17 +554,19 @@ def _bucket_serial_call(fq_name: str, K: int, Cp: int):
         r_np=tuple(int(v) for v in spec.r_limbs),
         K=K,
     )
-    bspec = pl.BlockSpec((1, L, Cp), lambda g: (K - 1 - g, 0, 0),
+    n_chunks = Mp // CH
+    bspec = pl.BlockSpec((1, L, CH), lambda j, g: (K - 1 - g, 0, j),
                          memory_space=pltpu.VMEM)
-    pspec = pl.BlockSpec((L, 1), lambda g: (0, 0), memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((L, Cp), lambda g: (0, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((L, 1), lambda j, g: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((L, CH), lambda j, g: (0, j),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        out_shape=[jax.ShapeDtypeStruct((L, Cp), jnp.uint32)] * 3,
-        grid=(K - 1,),
+        out_shape=[jax.ShapeDtypeStruct((L, Mp), jnp.uint32)] * 3,
+        grid=(n_chunks, K - 1),  # bucket axis fastest: scratch re-inits
         in_specs=[bspec] * 3 + [pspec],
         out_specs=[ospec] * 3,
-        scratch_shapes=[pltpu.VMEM((L, Cp), jnp.uint32)] * 3,
+        scratch_shapes=[pltpu.VMEM((L, CH), jnp.uint32)] * 3,
         interpret=_interpret(),
     )
 
@@ -573,7 +582,14 @@ def bucket_serial_reduce(fq_name: str, coords, K: int):
     M = coords[0].shape[1]
     L = coords[0].shape[-1]
     lanes = 8 if _interpret() else 128
+    CH = min(SERIAL_REDUCE_LANE_CHUNK, 64) if _interpret() else (
+        SERIAL_REDUCE_LANE_CHUNK
+    )
     Mp = max(((M + lanes - 1) // lanes) * lanes, lanes)
+    if Mp > CH:
+        Mp = -(-Mp // CH) * CH  # whole column chunks
+    else:
+        CH = Mp
     tiles = []
     for a in coords:
         t = jnp.moveaxis(a, -1, 1)  # [K, L, M]
@@ -583,7 +599,7 @@ def bucket_serial_reduce(fq_name: str, coords, K: int):
             )
         tiles.append(t)
     spec = FIELDS[fq_name]
-    out = _bucket_serial_call(fq_name, K, Mp)(
+    out = _bucket_serial_call(fq_name, K, Mp, CH)(
         *tiles, jnp.asarray(spec.p_limbs, jnp.uint32).reshape(L, 1)
     )
     return tuple(jnp.moveaxis(t[:, :M], 0, -1) for t in out)
