@@ -52,11 +52,23 @@ def test_example_prod_acc(capsys):
 
 
 def test_example_permcheck(capsys):
+    import os
+
+    if not os.environ.get("SCZK_SLOW_TESTS"):
+        pytest.skip("~100 s of eager protocol dispatch; the permcheck "
+                    "pipelines are covered by test_hyperplonk/"
+                    "test_acc_product/test_sharding (SCZK_SLOW_TESTS=1)")
     out = _run("permcheck", TINY + ["--variant", "d"], capsys)
     assert "permcheck" in out
 
 
 def test_example_hyperplonk_dist(capsys):
+    import os
+
+    if not os.environ.get("SCZK_SLOW_TESTS"):
+        pytest.skip("~85 s of eager protocol dispatch; dhyperplonk is "
+                    "covered end-to-end by test_hyperplonk and the bench "
+                    "smoke test (SCZK_SLOW_TESTS=1)")
     out = _run("hyperplonk", TINY + ["--variant", "dist"], capsys)
     assert "hyperplonk" in out.lower()
 

@@ -31,13 +31,13 @@ def test_local_demo_matches_single_process(tmp_path):
 
     # 2 coordinated processes x 4 virtual devices
     subprocess.run(
-        [sys.executable, str(SCRIPT), "--local-demo", "--n", "5", "--l", "1",
+        [sys.executable, str(SCRIPT), "--local-demo", "--n", "4", "--l", "1",
          "--repeat", "0", "--digest", str(demo_digest)],
         check=True, timeout=1500, env=dict(os.environ),
     )
     # 1 process x 8 virtual devices, same config/seeds
     subprocess.run(
-        [sys.executable, str(SCRIPT), "--n", "5", "--l", "1",
+        [sys.executable, str(SCRIPT), "--n", "4", "--l", "1",
          "--repeat", "0", "--digest", str(single_digest)],
         check=True, timeout=1500, env=_clean_env(8),
     )
