@@ -169,11 +169,13 @@ def _weighted_bucket_totals(curve: Curve, acc_wck: PointJ) -> PointJ:
     return curve.sum(suff, axis=2)
 
 
-SERIAL_REDUCE_MIN_LANES = 512
+SERIAL_REDUCE_MIN_LANES = 192
 """Below this many (window, segment) lanes the serial-bucket kernel
 cannot fill the VPU (a [L, 128]-padded step is latency-bound) and the
 wide Hillis-Steele rounds win; above it the serial form's K vs K*log2(K)
-work advantage dominates.  Flagship ragged chains run W*C ~ 1.4-2k."""
+work advantage dominates.  The grp8 d_commit runs W*C = 256 (measured:
+~144 ms of XLA reduce rounds vs ~40 ms serial); single flat MSMs at
+W*C = 32 and the 3-poly commit at 96 stay on the XLA form."""
 
 
 def _prefix_scan_axis1(curve: Curve, pts: PointJ, axis: int = 1) -> PointJ:

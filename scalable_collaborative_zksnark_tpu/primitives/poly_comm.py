@@ -591,6 +591,43 @@ def _d_msm_ragged(curve, pp, net, bases_list, scalars_list, c=8, affine=False,
     return net.scatter_data_only(out)
 
 
+def _tiny_msm_rounds(curve, bases_list, scals_list):
+    """The log2(l) phase-2 proof MSMs of a c_open in ONE ladder launch.
+
+    Each round's MSM is tiny (l/2^(i+1) points) and independent of the
+    fold chain (the proofs never feed the next fold), but a per-round
+    ``msm`` call pays the full 255-bit double-and-add ladder DEPTH
+    (~100 ms on TPU regardless of lane count, docs/PERF.md) — the
+    dominant cost of c_open at protocol sizes.  Concatenating every
+    round's (base, q) pairs into one scalar_mul pays the depth once;
+    per-round sums are a few tiny tree-add launches.
+
+    ``scals_list[i]``: [..., S_i, L] standard-form; ``bases_list[i]``
+    broadcastable to the same batch.  Returns a list of PointJ [...]."""
+    sizes = [s.shape[-2] for s in scals_list]
+    qcat = jnp.concatenate(scals_list, axis=-2)  # [..., S, L]
+    bcat = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, axis=-2), *bases_list
+    )
+    # batch dims align as PREFIXES (same convention as msm()): a [N, S]
+    # per-party base level broadcasts over the scalars' trailing dims
+    pb = bcat.x.shape[:-2]
+    sb = qcat.shape[:-2]
+    if len(sb) > len(pb):
+        bcat = jax.tree.map(
+            lambda a: a.reshape(pb + (1,) * (len(sb) - len(pb)) + a.shape[-2:]),
+            bcat,
+        )
+    prods = curve.scalar_mul(bcat, qcat)  # [..., S]
+    outs = []
+    off = 0
+    for sz in sizes:
+        seg = jax.tree.map(lambda a: a[..., off : off + sz, :], prods)
+        outs.append(curve.sum(seg, axis=-1))
+        off += sz
+    return outs
+
+
 def c_commit(srs: PolynomialCommitment, pp: PackedSharingParams, net: PartyNet,
              pevals: list, c: int = 8) -> PointJ:
     """Batched collaborative commit (dpoly_comm.rs:244-267).
@@ -639,7 +676,7 @@ def c_open(srs: PolynomialCommitment, pp: PackedSharingParams, net: PartyNet,
     ss = pss2ss(pp, net, cur[..., 0, :])  # [P, l, L]
     log_l = pp.l.bit_length() - 1
     cur2 = ss
-    extra = []
+    q2, b2 = [], []
     for i in range(log_l):
         half = cur2.shape[-2] // 2
         lo, hi = cur2[..., :half, :], cur2[..., half:, :]
@@ -648,10 +685,12 @@ def c_open(srs: PolynomialCommitment, pp: PackedSharingParams, net: PartyNet,
         b = srs.packed_powers[level]
         if b.x.ndim == 3 and net.mode == "leader":
             b = jax.tree.map(lambda a: a[:1], b)
-        extra.append(msm(curve, b, F.decode(q), c=c, affine=srs.affine))  # [P]
+        q2.append(F.decode(q))
+        b2.append(b)
         # NOTE: continuation challenges point[n_loc + i] (see sumcheck.py
         # DEVIATION note; reference reuses point[i], dpoly_comm.rs:442-459)
         cur2 = F.add(lo, F.mul(point[n_loc + i], q))
+    extra = _tiny_msm_rounds(curve, b2, q2) if q2 else []  # each [P]
     if extra:
         extra_stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=-2), *extra)
         proofs = jax.tree.map(
@@ -712,10 +751,11 @@ def c_open_many(srs: PolynomialCommitment, pp: PackedSharingParams,
     for _ in plans:
         net._count_scatter(net.payload_bytes("fr", pp.l, vec=True))
 
-    # phase-2 folds: per-item continuation challenges, shared rounds
+    # phase-2 folds: per-item continuation challenges, shared rounds;
+    # the per-round proof MSMs batch into ONE ladder (_tiny_msm_rounds)
     log_l = pp.l.bit_length() - 1
     cur2 = ss
-    extra = []
+    q2, b2 = [], []
     for i in range(log_l):
         half = cur2.shape[-2] // 2
         lo, hi = cur2[..., :half, :], cur2[..., half:, :]
@@ -724,11 +764,13 @@ def c_open_many(srs: PolynomialCommitment, pp: PackedSharingParams,
         b = srs.packed_powers[level]
         if b.x.ndim == 3 and net.mode == "leader":
             b = jax.tree.map(lambda a: a[:1], b)
-        extra.append(msm(curve, b, F.decode(q), c=c, affine=srs.affine))  # [P, k]
+        q2.append(F.decode(q))
+        b2.append(b)
         ch = jnp.stack(
             [point[n_loc + i] for point, n_loc, _ in plans], axis=0
         )  # [k, L]
         cur2 = F.add(lo, F.mul(ch[None, :, None, :], q))
+    extra = _tiny_msm_rounds(curve, b2, q2) if q2 else []  # each [P, k]
     outs = []
     off = 0
     for idx, (point, n_loc, _) in enumerate(plans):
