@@ -494,40 +494,53 @@ def _horner_call(fq_name: str, W: int, Cp: int, c: int):
 
 
 def _bucket_serial_kernel(bx, by, bz, p_ref, ox, oy, oz, ax, ay, az, *,
-                          p_np, n0inv, L, r_np, K):
-    """One grid step per bucket, ALL (window, segment) pairs in lanes.
+                          p_np, n0inv, L, r_np, G):
+    """G buckets per grid step, ALL (window, segment) pairs in lanes.
 
     Computes sum_{k>=1} k*B_k by the classic running-suffix recurrence
     acc += B_k (k descending), total += acc — 2(K-1) full adds total,
-    delivered as ONE kernel with the K axis on the grid (inherently
-    serial) and the W*C axis on lanes (the parallel one).  This is the
+    delivered as ONE kernel with the (inherently serial) bucket axis on
+    the grid and the W*C axis on lanes (the parallel one).  This is the
     OPPOSITE factorization of the rejected per-window-grid kernel, which
-    serialized the parallel axis."""
+    serialized the parallel axis.  The caller hands the buckets already
+    DESCENDING (k = K-1 first, bucket 0 dropped) and front-padded with
+    identities to a multiple of G; G buckets per step amortize the
+    per-grid-step overhead without growing the live set (the unrolled
+    iterations chain through the same acc/total)."""
     from jax.experimental import pallas as pl
 
-    g = pl.program_id(1)  # bucket axis (fastest); axis 0 = column chunk
+    g = pl.program_id(1)  # bucket-block axis (fastest); axis 0 = columns
     one_rows = jnp.stack(
         [jnp.full_like(bx[0, 0, :], r_np[j]) for j in range(L)], axis=0
     )
-    X, Y, Z = bx[0], by[0], bz[0]  # bucket K-1-g block [L, CH]
 
-    @pl.when(g == 0)
-    def _init():
-        ax[:] = X
-        ay[:] = Y
-        az[:] = Z
-        ox[:] = X
-        oy[:] = Y
-        oz[:] = Z
-
-    @pl.when(g > 0)
-    def _step():
+    def step(X, Y, Z):
         acc = _add_t(ax[:], ay[:], az[:], X, Y, Z, p_np, n0inv, L,
                      one_rows, False, p_ref[:])
         ax[:], ay[:], az[:] = acc
         tot = _add_t(ox[:], oy[:], oz[:], acc[0], acc[1], acc[2], p_np,
                      n0inv, L, one_rows, False, p_ref[:])
         ox[:], oy[:], oz[:] = tot
+
+    for j in range(G):
+        X, Y, Z = bx[j], by[j], bz[j]
+        if j == 0:
+
+            @pl.when(g == 0)
+            def _init(X=X, Y=Y, Z=Z):
+                ax[:] = X
+                ay[:] = Y
+                az[:] = Z
+                ox[:] = X
+                oy[:] = Y
+                oz[:] = Z
+
+            @pl.when(g > 0)
+            def _step0(X=X, Y=Y, Z=Z):
+                step(X, Y, Z)
+
+        else:
+            step(X, Y, Z)
 
 
 SERIAL_REDUCE_LANE_CHUNK = 1024
@@ -537,8 +550,14 @@ spill ~5.5 KB of formula temporaries per lane to scoped VMEM (observed:
 Wider W*C runs as independent column chunks on the outer grid axis."""
 
 
+SERIAL_REDUCE_BUCKET_UNROLL = 8
+"""Buckets processed per grid step of the serial reduce.  The unrolled
+iterations chain through the same acc/total scratch, so the live set
+stays one step's worth while the per-grid-step overhead amortizes G x."""
+
+
 @functools.lru_cache(maxsize=None)
-def _bucket_serial_call(fq_name: str, K: int, Mp: int, CH: int):
+def _bucket_serial_call(fq_name: str, rows: int, G: int, Mp: int, CH: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from ..fields.config import FIELDS
@@ -552,10 +571,10 @@ def _bucket_serial_call(fq_name: str, K: int, Mp: int, CH: int):
         n0inv=int(spec.n0inv),
         L=L,
         r_np=tuple(int(v) for v in spec.r_limbs),
-        K=K,
+        G=G,
     )
     n_chunks = Mp // CH
-    bspec = pl.BlockSpec((1, L, CH), lambda j, g: (K - 1 - g, 0, j),
+    bspec = pl.BlockSpec((G, L, CH), lambda j, g: (g, 0, j),
                          memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((L, 1), lambda j, g: (0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((L, CH), lambda j, g: (0, j),
@@ -563,7 +582,7 @@ def _bucket_serial_call(fq_name: str, K: int, Mp: int, CH: int):
     return pl.pallas_call(
         kern,
         out_shape=[jax.ShapeDtypeStruct((L, Mp), jnp.uint32)] * 3,
-        grid=(n_chunks, K - 1),  # bucket axis fastest: scratch re-inits
+        grid=(n_chunks, rows // G),  # bucket axis fastest: scratch re-inits
         in_specs=[bspec] * 3 + [pspec],
         out_specs=[ospec] * 3,
         scratch_shapes=[pltpu.VMEM((L, CH), jnp.uint32)] * 3,
@@ -581,6 +600,7 @@ def bucket_serial_reduce(fq_name: str, coords, K: int):
 
     M = coords[0].shape[1]
     L = coords[0].shape[-1]
+    spec = FIELDS[fq_name]
     lanes = 8 if _interpret() else 128
     CH = min(SERIAL_REDUCE_LANE_CHUNK, 64) if _interpret() else (
         SERIAL_REDUCE_LANE_CHUNK
@@ -590,16 +610,31 @@ def bucket_serial_reduce(fq_name: str, coords, K: int):
         Mp = -(-Mp // CH) * CH  # whole column chunks
     else:
         CH = Mp
+    G = min(SERIAL_REDUCE_BUCKET_UNROLL, K - 1)
+    rows = -(-(K - 1) // G) * G
+    pad = rows - (K - 1)
     tiles = []
-    for a in coords:
-        t = jnp.moveaxis(a, -1, 1)  # [K, L, M]
+    for j, a in enumerate(coords):
+        # descending buckets K-1..1 (bucket 0 dropped), front-padded with
+        # identities (x = 0, y = one, z = 0): they are consumed while the
+        # accumulator is still at its init value, contributing nothing
+        t = a[K - 1 : 0 : -1]
+        if pad:
+            fill = (
+                jnp.broadcast_to(
+                    jnp.asarray(spec.r_limbs, a.dtype), (pad,) + a.shape[1:]
+                )
+                if j == 1
+                else jnp.zeros((pad,) + a.shape[1:], a.dtype)
+            )
+            t = jnp.concatenate([fill, t], axis=0)
+        t = jnp.moveaxis(t, -1, 1)  # [rows, L, M]
         if Mp != M:
             t = jnp.concatenate(
-                [t, jnp.zeros((K, L, Mp - M), jnp.uint32)], axis=-1
+                [t, jnp.zeros((rows, L, Mp - M), jnp.uint32)], axis=-1
             )
         tiles.append(t)
-    spec = FIELDS[fq_name]
-    out = _bucket_serial_call(fq_name, K, Mp, CH)(
+    out = _bucket_serial_call(fq_name, rows, G, Mp, CH)(
         *tiles, jnp.asarray(spec.p_limbs, jnp.uint32).reshape(L, 1)
     )
     return tuple(jnp.moveaxis(t[:, :M], 0, -1) for t in out)
