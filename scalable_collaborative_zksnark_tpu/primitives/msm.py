@@ -366,7 +366,7 @@ def _msm_1d_segscan(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
 #      accumulates its run, resetting at key changes (E/T steps);
 #   3. a log2(T)-step segmented scan over lane summaries produces the
 #      carry for segments that span lane boundaries;
-#   4.每 bucket sum = scanned value at its end position (+ lane carry
+#   4. each bucket sum = scanned value at its end position (+ lane carry
 #      when the bucket started before the lane) — pure gathers.
 # ---------------------------------------------------------------------------
 DENSE_LANES = 8192
