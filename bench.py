@@ -40,7 +40,7 @@ def main() -> None:
                          "field/curve kernels) — the reference baseline is "
                          "itself a single-thread CPU number, so this is an "
                          "apples-to-apples comparison when no TPU is reachable")
-    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--repeat", type=int, default=5)
     ap.add_argument("--mode", choices=("phased", "full", "eager"),
                     default="phased",
                     help="phased: one jitted executable per protocol phase "
@@ -141,6 +141,18 @@ def main() -> None:
     mode = "eager" if args.eager else args.mode
 
     if mode == "phased":
+        # Parallel AOT compile of every phase executable (VERDICT r4 #1):
+        # compile wall-clock becomes ~max-of-phases instead of
+        # sum-of-phases, and the prove dispatches the compiled objects
+        # directly (immune to persistent-cache key misses, r4 weak #3).
+        from scalable_collaborative_zksnark_tpu.hyperplonk.collaborative import (
+            precompile_phases,
+        )
+
+        t0 = time.time()
+        precompile_phases(n, pk, net)
+        print(f"# precompile (parallel AOT): {time.time() - t0:.1f}s",
+              file=sys.stderr)
         step_jit = lambda arrs: dhyperplonk_phased(n, pk, net)
     else:
         def step(arrs):
@@ -169,7 +181,7 @@ def main() -> None:
     prof = (
         jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
     )
-    best = float("inf")
+    times = []
     with prof:
         for i in range(max(args.repeat, 1)):
             t0 = time.time()
@@ -177,7 +189,23 @@ def main() -> None:
             barrier(out)
             dt = time.time() - t0
             print(f"# run {i}: {dt:.2f}s", file=sys.stderr)
-            best = min(best, dt)
+            times.append(dt)
+    times.sort()
+    best = times[0]
+    median = times[len(times) // 2] if len(times) % 2 else (
+        (times[len(times) // 2 - 1] + times[len(times) // 2]) / 2
+    )
+    spread = times[-1] - times[0]
+
+    # Hardware conformance (VERDICT r4 missing #4): re-prove the pinned
+    # tiny config on THIS backend and check the bit-exact digest, so
+    # every recorded bench certifies the MXU/Pallas paths.  Guarded —
+    # a conformance crash must not cost the metric line.
+    try:
+        conf = _conformance_status()
+    except Exception as e:  # pragma: no cover - defensive
+        conf = f"error: {type(e).__name__}"
+    print(f"# conformance: {conf}", file=sys.stderr)
 
     # Baseline: the reference's only recorded run is 93.218 s for all N
     # parties serialized on one thread (hack/run-hyperplonk/output.txt
@@ -196,25 +224,53 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"dhyperplonk_per_party_prove_s_n{n}_l{l}{tag}",
-                "value": round(best, 4),
+                "value": round(median, 4),
                 "unit": "s",
-                "vs_baseline": round(baseline_per_party / best, 4),
+                "vs_baseline": round(baseline_per_party / median, 4),
                 "baseline_s": round(baseline_per_party, 4),
                 "baseline_assumed_config": "93.218s/64 parties @ n=16,l=8 (trace size unrecorded)",
                 "baseline_est_s": round(baseline_est, 4),
-                "vs_baseline_est": round(baseline_est / best, 4),
+                "vs_baseline_est": round(baseline_est / median, 4),
+                "min_s": round(best, 4),
+                "spread_s": round(spread, 4),
+                "runs": [round(t, 4) for t in times],
+                "conformance": conf,
             }
         )
     )
 
 
+def _conformance_status() -> str:
+    """Prove the pinned tiny config on the current backend; return
+    "pass"/"fail" by digest comparison (see CONFORMANCE_PIN)."""
+    from scalable_collaborative_zksnark_tpu.hyperplonk import (
+        packed_proving_parameters,
+    )
+    from scalable_collaborative_zksnark_tpu.hyperplonk.collaborative import (
+        dhyperplonk_phased,
+    )
+    from scalable_collaborative_zksnark_tpu.mpc.net import PartyNet
+    from scalable_collaborative_zksnark_tpu.utils.benchlib import proof_digest
+
+    ok = True
+    for (cn, cl), pin in CONFORMANCE_PIN.items():
+        cnet = PartyNet(8 * cl, mode="leader")
+        cpk = packed_proving_parameters(cn, cl, cnet)
+        d = proof_digest(dhyperplonk_phased(cn, cpk, cnet))
+        ok = ok and d == pin
+    return "pass" if ok else "fail"
+
+
 # CPU-pinned proof digest of the tiny conformance config (n=6, l=1,
 # leader mode, phased prover).  Pinned by tests/test_bench_cli.py on the
-# CPU backend; bench.py --conformance re-checks it on real TPU hardware
+# CPU backend; the default bench path re-checks it on real TPU hardware
 # so an MXU/Mosaic regression shows up as a wrong digest in seconds, not
-# as a 10-minute bench failure (VERDICT r3 item 7).  Re-pin whenever the
-# protocol's output semantics intentionally change.
-CONFORMANCE_PIN = {(6, 1): 0x6AAEAE7BDC9B6C75}
+# as a 10-minute bench failure (VERDICT r3 item 7).  Digests are
+# CANONICAL since round 5: G1 points are normalized to affine before
+# hashing (benchlib.canonicalize_proof), so the pin certifies VALUES and
+# is insensitive to which MSM backend/window plan produced them.  Re-pin
+# whenever the protocol's output semantics intentionally change.
+CONFORMANCE_PIN = {(6, 1): 0x0D8B55994DD236A9}
 
 
 def conformance() -> None:

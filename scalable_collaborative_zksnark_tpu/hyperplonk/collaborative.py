@@ -588,6 +588,135 @@ def _make_wire_b_sums(pk: PackedProvingParameters, net: PartyNet):
     return wbs
 
 
+def phase_fns(n: int, pk: PackedProvingParameters, net: PartyNet, c: int = 8):
+    """The phased prover's per-phase jitted executables (cached on pk).
+
+    The wire identity is split a / sums / opens / c — a single wire
+    executable exceeded the compile helper's memory at n=12.  The layer
+    sumchecks are ONE merged executable (growing-batch global rounds,
+    see _wire_b_sumchecks) and the layer opens ONE merged-opens
+    executable — per-layer executables paid ~170 ms each of dispatch +
+    tiny-op overhead, and per-layer opens paid the MSM fixed costs 10x.
+    (The opens stay separate from the sumchecks: a single graph with the
+    dense MSMs exceeded the remote compile service's response cap.)
+    """
+    from .sharding import pk_merge
+
+    fns = getattr(pk, "_phase_jits", None)
+    if fns is not None:
+        return fns
+    fns = {
+        "commit": jax.jit(lambda ar: _commit_step(pk_merge(pk, ar), net, c)),
+        "gate": jax.jit(lambda ar: _gate_identity(pk_merge(pk, ar), net)),
+        "wire_a": jax.jit(
+            lambda ar, ls_p, ss: _wire_part_a(
+                n, pk_merge(pk, ar), net, ls_p, ss, c
+            )
+        ),
+        "wire_b_sums": jax.jit(_make_wire_b_sums(pk, net)),
+        "wire_b_open": jax.jit(
+            lambda ar, items: pk_merge(pk, ar).d_commitment.d_open_many(
+                net, items, c=c
+            )
+        ),
+        "wire_c": jax.jit(
+            lambda ar, lt, et: _wire_part_c(pk_merge(pk, ar), net, lt, et, c)
+        ),
+        "open": jax.jit(
+            lambda ar, coms: _final_opens(pk_merge(pk, ar), net, coms, c)
+        ),
+    }
+    pk._phase_jits = fns
+    return fns
+
+
+def phase_example_args(n: int, pk: PackedProvingParameters, net: PartyNet,
+                       c: int = 8):
+    """ShapeDtypeStructs for every phase executable's arguments.
+
+    Derived WITHOUT running device math: the wire_a/commit output
+    structures come from ``jax.eval_shape``; the wire_b_open items from
+    the halving-slice arithmetic.  Used by :func:`precompile_phases` and
+    scripts/compile_cold.py."""
+    from .sharding import pk_arrays
+
+    F = pk.pp.field
+    gc = 1 << n
+    P = net.local_parties
+    N = net.n
+    fns = phase_fns(n, pk, net, c)
+    sds = lambda tree: jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree
+    )
+    arrays_s = sds(pk_arrays(pk))
+    u32 = jnp.uint32
+    ls_p = jax.ShapeDtypeStruct((P, gc * 4 // N, F.L), u32)
+    ss = jax.ShapeDtypeStruct((P, gc * 4 // pk.pp.l, F.L), u32)
+    eq_top = jax.ShapeDtypeStruct((N, F.L), u32)
+    wa = jax.eval_shape(fns["wire_a"], arrays_s, ls_p, ss)
+    v1x_s, vx0_s, vx1_s, lt_s = wa[3]
+    coms_s = jax.eval_shape(fns["commit"], arrays_s)
+    s_bits = N.bit_length() - 1
+    items = []
+    size = v1x_s.shape[-2] // 2
+    for i in range(1, n - s_bits + 1):
+        items.append(
+            (
+                jax.ShapeDtypeStruct((P, 3, size, F.L), u32),
+                jax.ShapeDtypeStruct(
+                    (pk.challenge_r2.shape[0] - i, F.L), u32
+                ),
+            )
+        )
+        size //= 2
+    return {
+        "commit": (arrays_s,),
+        "gate": (arrays_s,),
+        "wire_a": (arrays_s, ls_p, ss),
+        "wire_b_sums": (arrays_s, v1x_s, vx0_s, vx1_s),
+        "wire_b_open": (arrays_s, tuple(items)),
+        "wire_c": (arrays_s, lt_s, eq_top),
+        "open": (arrays_s, coms_s),
+    }
+
+
+def precompile_phases(n: int, pk: PackedProvingParameters, net: PartyNet,
+                      c: int = 8, workers: int = 7) -> dict:
+    """AOT-compile ALL phase executables CONCURRENTLY (VERDICT r4 #1).
+
+    XLA compiles release the GIL (and on the axon tunnel run in the
+    remote compile service), so a thread pool turns the serial
+    sum-of-phase-compiles (~650 s at round-3 kernel shapes) into
+    ~max-of-phases.  The compiled objects are cached on
+    ``pk._phase_compiled`` and dispatched directly by
+    :func:`dhyperplonk_phased` — no second jit-trace, and no dependence
+    on persistent-cache key stability (r4 weak #3: the 211 MB wire-a
+    entry missed across processes)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    compiled = getattr(pk, "_phase_compiled", None)
+    if compiled is not None:
+        return compiled
+    fns = phase_fns(n, pk, net, c)
+    # comm accounting: tracing counts bytes on the host-side net
+    # counters; tracing the same protocol once per jit + once here would
+    # double-count, so snapshot and restore around the AOT traces.
+    args = None
+    snap = net.comm_snapshot()
+    try:
+        args = phase_example_args(n, pk, net, c)
+    finally:
+        net.comm_restore(snap)
+
+    def one(name):
+        return name, fns[name].lower(*args[name]).compile()
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        compiled = dict(ex.map(one, list(fns)))
+    pk._phase_compiled = compiled
+    return compiled
+
+
 def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
                        seed: int = 2, c: int = 8):
     """dhyperplonk with each protocol phase as its OWN jitted executable.
@@ -598,8 +727,12 @@ def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
     6 GB at n=12) — phase executables stay well under it, and phases
     re-dispatch back-to-back with no host round-trip in between.
     Output and comm accounting are identical to ``dhyperplonk``.
+
+    If :func:`precompile_phases` ran first, its AOT executables are
+    dispatched directly (zero retrace risk); otherwise each phase jits
+    on first call.
     """
-    from .sharding import pk_arrays, pk_merge
+    from .sharding import pk_arrays
 
     F = pk.pp.field
     gc = 1 << n
@@ -609,40 +742,15 @@ def dhyperplonk_phased(n: int, pk: PackedProvingParameters, net: PartyNet,
     eq_top = F.random((net.n,), seed * 31 + 3)
     arrays = pk_arrays(pk)
 
-    # phase jits are cached on pk so repeated proves reuse executables;
-    # the wire identity is split a / per-layer / c — a single wire
-    # executable exceeded the compile helper's memory at n=12
-    fns = getattr(pk, "_phase_jits", None)
-    if fns is None:
-        fns = {
-            "commit": jax.jit(lambda ar: _commit_step(pk_merge(pk, ar), net, c)),
-            "gate": jax.jit(lambda ar: _gate_identity(pk_merge(pk, ar), net)),
-            "wire_a": jax.jit(
-                lambda ar, ls_p, ss: _wire_part_a(
-                    n, pk_merge(pk, ar), net, ls_p, ss, c
-                )
-            ),
-            # ONE merged executable for ALL layer sumchecks (growing-
-            # batch global rounds, see _wire_b_sumchecks) plus ONE
-            # merged-opens executable — per-layer executables paid
-            # ~170 ms each of dispatch + tiny-op overhead, and per-layer
-            # opens paid the MSM fixed costs 10x.  (The opens stay
-            # separate from the sumchecks: a single graph with the dense
-            # MSMs exceeded the remote compile service's response cap.)
-            "wire_b_sums": jax.jit(_make_wire_b_sums(pk, net)),
-            "wire_b_open": jax.jit(
-                lambda ar, items: pk_merge(pk, ar).d_commitment.d_open_many(
-                    net, items, c=c
-                )
-            ),
-            "wire_c": jax.jit(
-                lambda ar, lt, et: _wire_part_c(pk_merge(pk, ar), net, lt, et, c)
-            ),
-            "open": jax.jit(
-                lambda ar, coms: _final_opens(pk_merge(pk, ar), net, coms, c)
-            ),
-        }
-        pk._phase_jits = fns
+    fns = dict(phase_fns(n, pk, net, c))
+    pre = getattr(pk, "_phase_compiled", None)
+    if pre is not None:
+        # AOT executables dispatch without tracing; the comm counters
+        # were ticked exactly once by the precompiler's lower() traces
+        # (phase_example_args' extra eval_shape traces were snapshotted
+        # out), so after the first prove the counters hold one prove's
+        # bytes on both paths.
+        fns = {k: pre[k] for k in fns}
 
     import os
 

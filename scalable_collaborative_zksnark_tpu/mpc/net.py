@@ -161,3 +161,11 @@ class PartyNet:
         self.up = [0] * self.n
         self.down = [0] * self.n
         self.rounds = 0
+
+    def comm_snapshot(self):
+        """Counter state, for discarding double-counted traces (the AOT
+        precompiler shape-traces wire_a/commit once extra)."""
+        return (list(self.up), list(self.down), self.rounds)
+
+    def comm_restore(self, snap):
+        self.up, self.down, self.rounds = list(snap[0]), list(snap[1]), snap[2]

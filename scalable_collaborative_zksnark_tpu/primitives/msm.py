@@ -33,6 +33,7 @@ two batched device ops.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,57 @@ def _digit(scalars_std: jnp.ndarray, c: int, w: jnp.ndarray) -> jnp.ndarray:
     )
     val = (lo >> off) | jnp.where(off > 0, hi << (LIMB_BITS - off), 0)
     return val & jnp.uint32((1 << c) - 1)
+
+
+def _auto_c_enabled() -> bool:
+    """Cost-model window-width override for flat dense MSMs (default on)."""
+    return os.environ.get("SCZK_MSM_AUTO_C", "1") != "0"
+
+
+def _signed_enabled() -> bool:
+    """Signed-digit windows in the dense cores (default on).
+
+    Signed base-2^c digits lie in (-2^(c-1), 2^(c-1)], so the bucket
+    count per window halves to K = 2^(c-1)+1 — the weighted reduce costs
+    half at equal c, and the cost model can afford wider windows (fewer
+    accumulate adds, the prove's ALU floor — docs/PERF.md r4 item 9).
+    Safe with arbitrary (even duplicated) bases: the add formulas are
+    complete (P + (-P) -> infinity via the is_cancel select,
+    pallas_g1._add_t:113,121)."""
+    return os.environ.get("SCZK_MSM_SIGNED", "1") != "0"
+
+
+def _signed_digit_block(scalars_std: jnp.ndarray, c: int, ws, carry):
+    """Signed digits for a block of ascending windows.
+
+    ``ws``: [wc] window indices (traced ok, ascending, contiguous);
+    ``carry``: [N] uint32 carry into window ws[0].  Returns
+    (mags [wc, N] uint32, negs [wc, N] bool, carry_out [N]).
+
+    Conversion: d = raw + carry; if d > 2^(c-1): d -= 2^c, carry 1.
+    The strict > keeps +2^(c-1) positive, so magnitudes fit in
+    [0, 2^(c-1)] and — because scalars are < 2^255 < 2^(c*W)/2 — the
+    top window never carries out (the final window holds < 2^(c-1)
+    after carry for every c; see the window-count analysis in
+    _msm_1d_dense)."""
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    mags, negs = [], []
+    wc = ws.shape[0] if hasattr(ws, "shape") else len(ws)
+    for j in range(int(wc)):
+        d = _digit(scalars_std, c, ws[j]) + carry
+        neg = d > half
+        carry = neg.astype(jnp.uint32)
+        mags.append(jnp.where(neg, full - d, d))
+        negs.append(neg)
+    return jnp.stack(mags), jnp.stack(negs), carry
+
+
+def _negate_where(curve: Curve, pts: PointJ, neg_mask: jnp.ndarray) -> PointJ:
+    """Conditional point negation: y -> p - y on flagged entries
+    (identity rows keep z = 0, so their y is irrelevant)."""
+    y_neg = curve.fq.neg(pts.y)
+    return PointJ(pts.x, jnp.where(neg_mask[..., None], y_neg, pts.y), pts.z)
 
 
 def _seg_scan_last(curve: Curve, seg: jnp.ndarray, pts: PointJ) -> PointJ:
@@ -169,7 +221,7 @@ def _weighted_bucket_totals(curve: Curve, acc_wck: PointJ) -> PointJ:
     return curve.sum(suff, axis=2)
 
 
-SERIAL_REDUCE_MIN_LANES = 192
+SERIAL_REDUCE_MIN_LANES = int(os.environ.get("SCZK_SERIAL_REDUCE_MIN", "192"))
 """Below this many (window, segment) lanes the serial-bucket kernel
 cannot fill the VPU (a [L, 128]-padded step is latency-bound) and the
 wide Hillis-Steele rounds win; above it the serial form's K vs K*log2(K)
@@ -501,15 +553,28 @@ def _dense_enabled() -> bool:
 
 def _msm_1d_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
                   c: int, affine: bool = False) -> PointJ:
-    """Windowed Pippenger with dense segmented-scan accumulation."""
+    """Windowed Pippenger with dense segmented-scan accumulation.
+
+    With signed digits (default): digits in (-2^(c-1), 2^(c-1)] so the
+    per-window bucket range is [0, 2^(c-1)] (K = 2^(c-1)+1); entries
+    with negative digits accumulate the NEGATED point.  Window count
+    stays ceil(nbits/c): scalars are field elements < 2^255, so the top
+    window (which owns bit 255 or less) holds at most 2^(c-1) after the
+    incoming carry and never carries out."""
     N = scalars_std.shape[-2]
     nbits = scalars_std.shape[-1] * LIMB_BITS
     W = (nbits + c - 1) // c
-    K = 1 << c
+    signed = _signed_enabled()
+    K = (1 << (c - 1)) + 1 if signed else (1 << c)
     aff = points if affine else curve.normalize(points)
 
     ws = jnp.arange(W, dtype=jnp.uint32)
-    digits = jax.vmap(lambda w: _digit(scalars_std, c, w))(ws)  # [W, N]
+    if signed:
+        digits, negs, _ = _signed_digit_block(
+            scalars_std, c, ws, jnp.zeros((N,), jnp.uint32)
+        )  # [W, N] magnitudes + signs
+    else:
+        digits = jax.vmap(lambda w: _digit(scalars_std, c, w))(ws)  # [W, N]
     iota = jnp.broadcast_to(jnp.arange(N, dtype=jnp.uint32)[None], (W, N))
     sorted_d, sorted_i = jax.lax.sort_key_val(digits, iota, dimension=1)
     ks = jnp.arange(K, dtype=jnp.uint32)
@@ -526,6 +591,11 @@ def _msm_1d_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
     keys = (sorted_d + ws[:, None] * jnp.uint32(K)).reshape(-1)
     pid = sorted_i.reshape(-1).astype(jnp.int32)
     pts_flat = jax.tree.map(lambda a: jnp.take(a, pid, axis=0), aff)
+    if signed:
+        sflat = jnp.take_along_axis(
+            negs, sorted_i.astype(jnp.int32), axis=1
+        ).reshape(-1)
+        pts_flat = _negate_where(curve, pts_flat, sflat)
     offs = (ws[:, None].astype(jnp.int32) * N)
     acc = _dense_bucket_sums(
         curve,
@@ -613,6 +683,11 @@ def msm(curve: Curve, points: PointJ, scalars_std: jnp.ndarray, c: int = 8,
         # the rare-collision lax.cond into an always-executed select
         batch = scalars_std.shape[:-2]
         Bn = int(np.prod(batch, dtype=np.int64)) if batch else 1
+        # the caller's c is a hint; the dense core picks the
+        # cost-model-optimal width for this workload (wider windows under
+        # signed digits cut the accumulate floor — docs/PERF.md r4 #9)
+        if _auto_c_enabled():
+            c = _pick_c_dense(Bn * N, Bn, scalars_std.shape[-1] * LIMB_BITS)
         pb = points.x.shape[:-2]
         pts = jax.tree.map(
             lambda a: jnp.broadcast_to(
@@ -673,16 +748,24 @@ def _pick_c(max_size: int) -> int:
 
 
 def _pick_c_dense(total_n: int, n_segments: int, nbits: int = 256) -> int:
-    """Window size for the dense-scan ragged core by explicit cost model:
-    accumulation does W * total_n mixed adds; the weighted bucket reduce
-    does either 2*(K-1) full adds at W*C lanes (serial-bucket kernel,
-    ~3.4*W*C*K mixed-add-lane equivalents) or ~1.3*W*C*K*c lane-adds
-    (Hillis-Steele rounds) depending on the runtime lane gate — model
-    both so c tracks the executed path."""
+    """Window size for the dense-scan cores by explicit cost model:
+    accumulation does W * total_n mixed adds (the prove's ALU floor);
+    the weighted bucket reduce does either 2*(K-1) full adds at W*C
+    lanes (serial-bucket kernel, ~3.4*W*C*K mixed-add-lane equivalents)
+    or ~1.3*W*C*K*c lane-adds (Hillis-Steele rounds) depending on the
+    runtime lane gate — model both so c tracks the executed path.
+
+    Signed digits halve K to 2^(c-1)+1, which shifts the optimum toward
+    wider windows — the point of the signed scheme: W (and with it the
+    accumulate floor) drops ~20% at the flagship sizes.  Bucket-grid
+    memory is capped at 2^21 points (~600 MB of Jacobian coords)."""
+    signed = _signed_enabled()
     best_c, best_cost = 4, None
-    for c in (2, 3, 4, 5, 6, 8):
+    for c in (2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13):
         W = -(-nbits // c)
-        K = 1 << c
+        K = ((1 << (c - 1)) + 1) if signed else (1 << c)
+        if W * n_segments * K > (1 << 21):
+            continue
         if W * n_segments >= SERIAL_REDUCE_MIN_LANES:
             red = 3.4 * W * n_segments * K
         else:
@@ -781,7 +864,8 @@ def _msm_ragged_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
     compiled chunk body under lax.scan; bucket sums are per-window, so
     chunks need no cross-carries)."""
     N = scalars_std.shape[0]
-    K = 1 << c
+    signed = _signed_enabled()
+    K = (1 << (c - 1)) + 1 if signed else (1 << c)
     C = len(sizes)
     nbits = scalars_std.shape[-1] * LIMB_BITS
     W = (nbits + c - 1) // c
@@ -797,11 +881,18 @@ def _msm_ragged_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
     wc = max(min(W, MAX_DENSE_ENTRIES // max(N, 1)), 1)
     n_chunks = -(-W // wc)
 
-    def chunk(_, wbase):
+    def chunk(carry, wbase):
+        # windows ascend across chunks, so the signed-digit carry threads
+        # through the scan carry
         ws = wbase + jnp.arange(wc, dtype=jnp.uint32)
-        digs = jax.vmap(lambda w: _digit(scalars_std, c, w))(ws)  # [wc, N]
-        # padding windows (ws >= W, last chunk only) get digit 0
-        digs = jnp.where((ws < W)[:, None], digs, 0)
+        live = (ws < W)[:, None]
+        if signed:
+            digs, negs, carry = _signed_digit_block(scalars_std, c, ws, carry)
+            digs = jnp.where(live, digs, 0)
+            negs = jnp.logical_and(negs, live)
+        else:
+            digs = jax.vmap(lambda w: _digit(scalars_std, c, w))(ws)  # [wc, N]
+            digs = jnp.where(live, digs, 0)
         key = seg_key[None, :] + digs
         sorted_k, sorted_i = jax.lax.sort_key_val(
             key, jnp.broadcast_to(iota[None], (wc, N)), dimension=1
@@ -818,6 +909,11 @@ def _msm_ragged_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
         keys_flat = (sorted_k + (wl * jnp.uint32(C * K))[:, None]).reshape(-1)
         pid = sorted_i.reshape(-1).astype(jnp.int32)
         pts_flat = jax.tree.map(lambda a: jnp.take(a, pid, axis=0), aff)
+        if signed:
+            sflat = jnp.take_along_axis(
+                negs, sorted_i.astype(jnp.int32), axis=1
+            ).reshape(-1)
+            pts_flat = _negate_where(curve, pts_flat, sflat)
         offs = (wl.astype(jnp.int32) * N)[:, None]
         accc = _dense_bucket_sums(
             curve,
@@ -827,14 +923,15 @@ def _msm_ragged_dense(curve: Curve, points: PointJ, scalars_std: jnp.ndarray,
             (starts + offs).reshape(-1),
             lens.reshape(-1),
         )
-        return None, tuple(accc)  # coords [wc*C*K, L]
+        return carry, tuple(accc)  # coords [wc*C*K, L]
 
+    carry0 = jnp.zeros((N,), jnp.uint32)
     if n_chunks == 1:
-        _, acc_t = chunk(None, jnp.uint32(0))
+        _, acc_t = chunk(carry0, jnp.uint32(0))
         acc = PointJ(*acc_t)
     else:
         wbases = jnp.arange(n_chunks, dtype=jnp.uint32) * jnp.uint32(wc)
-        _, accs = jax.lax.scan(chunk, None, wbases)
+        _, accs = jax.lax.scan(chunk, carry0, wbases)
         acc = PointJ(
             *[
                 a.reshape(n_chunks * wc * C * K, -1)[: W * C * K]

@@ -130,16 +130,39 @@ def _leaf_digest():
     return dig
 
 
+def canonicalize_proof(out):
+    """Normalize every G1 point in a proof bundle to its canonical
+    representative (affine (x, y, 1) or infinity (0, 1, 0)).
+
+    MSM backends legitimately differ in the Jacobian representative they
+    return (native FFI Pippenger vs the dense-scan TPU core vs the naive
+    ladder; window width and signed-digit choices also change Z), so a
+    VALUE comparison across backends must canonicalize first.  Field
+    values are already canonical (Montgomery limbs reduced mod p)."""
+    import jax
+
+    from ..curves.g1 import PointJ, bls12_381_g1
+
+    cv = bls12_381_g1()
+    is_pt = lambda x: isinstance(x, PointJ)
+    return jax.tree.map(
+        lambda x: cv.normalize(x) if is_pt(x) else x, out, is_leaf=is_pt
+    )
+
+
 def proof_digest(out) -> int:
     """Order-sensitive 64-bit digest of a proof bundle.
 
-    Per-leaf position-weighted uint32 checksums folded host-side; any
-    single-bit change in any leaf (or a leaf-order change) flips it.
-    Backend-independent because all protocol math is bit-exact across
-    the CPU / MXU / Pallas paths — which is precisely what the pinned
-    conformance digests in bench.py verify on real hardware."""
+    G1 points are canonicalized to affine first (see
+    :func:`canonicalize_proof`), then per-leaf position-weighted uint32
+    checksums are folded host-side; any single-bit change in any VALUE
+    (or a leaf-order change) flips the digest, while representation
+    differences between MSM backends do not.  This is what lets one
+    CPU-pinned digest certify the MXU/Pallas paths on real hardware
+    (bench.py conformance)."""
     import jax
 
+    out = canonicalize_proof(out)
     d = 0
     for leaf in jax.tree.leaves(out):
         d = (d * 1000003 + int(jax.device_get(_leaf_digest()(leaf)))) % (1 << 64)
