@@ -150,6 +150,25 @@ def canonicalize_proof(out):
     )
 
 
+@functools.cache
+def _bundle_digest_fn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def dig_all(out):
+        canon = canonicalize_proof(out)
+
+        def dig(a):
+            x = a.ravel().astype(jnp.uint32)
+            w = (jnp.arange(x.size, dtype=jnp.uint32) % jnp.uint32(8191)) + 1
+            return jnp.sum(x * w, dtype=jnp.uint32)
+
+        return tuple(dig(leaf) for leaf in jax.tree.leaves(canon))
+
+    return dig_all
+
+
 def proof_digest(out) -> int:
     """Order-sensitive 64-bit digest of a proof bundle.
 
@@ -159,11 +178,14 @@ def proof_digest(out) -> int:
     (or a leaf-order change) flips the digest, while representation
     differences between MSM backends do not.  This is what lets one
     CPU-pinned digest certify the MXU/Pallas paths on real hardware
-    (bench.py conformance)."""
+    (bench.py conformance).  All device work (canonicalize + per-leaf
+    checksums) runs as ONE jitted dispatch — per-leaf round-trips cost
+    ~0.1 s each over the axon tunnel and a flagship bundle has hundreds
+    of leaves."""
     import jax
 
-    out = canonicalize_proof(out)
+    digs = jax.device_get(_bundle_digest_fn()(out))
     d = 0
-    for leaf in jax.tree.leaves(out):
-        d = (d * 1000003 + int(jax.device_get(_leaf_digest()(leaf)))) % (1 << 64)
+    for leaf in digs:
+        d = (d * 1000003 + int(leaf)) % (1 << 64)
     return d

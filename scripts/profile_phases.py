@@ -107,11 +107,7 @@ def main() -> None:
         lambda ar, ls, ss: co._wire_part_a(n, pk_merge(pk, ar), net, ls, ss, c)
     )
     wire_b_sums_j = jax.jit(co._make_wire_b_sums(pk, net))
-    wire_b_open_j = jax.jit(
-        lambda ar, items: pk_merge(pk, ar).d_commitment.d_open_many(
-            net, items, c=c
-        )
-    )
+    wire_b_open_j = jax.jit(co._make_wire_b_open(n, pk, net, c))
     wire_c_j = jax.jit(
         lambda ar, lt, et: co._wire_part_c(pk_merge(pk, ar), net, lt, et, c)
     )
@@ -121,15 +117,7 @@ def main() -> None:
     wa = timeit("phase wire_a", wire_a_j, arrays, local_s_p, s_shares)
     v1x, vx0, vx1, leader_tree = wa[3]
     timeit("phase wire_b_sums (merged)", wire_b_sums_j, arrays, v1x, vx0, vx1)
-    # rebuild the open items exactly like _wire_part_b
-    s_bits = N.bit_length() - 1
-    half = v1x.shape[-2] // 2
-    cur = [v1x[..., :half, :], vx0[..., :half, :], vx1[..., :half, :]]
-    items = []
-    for i in range(1, n - s_bits + 1):
-        items.append((co._stackp(cur), pk.challenge_r2[i:]))
-        cur = [t[..., t.shape[-2] // 2 :, :] for t in cur]
-    timeit("phase wire_b_open (merged)", wire_b_open_j, arrays, tuple(items))
+    timeit("phase wire_b_open (merged)", wire_b_open_j, arrays, v1x, vx0, vx1)
     timeit("phase wire_c", wire_c_j, arrays, leader_tree, eq_top)
     open_j = jax.jit(lambda ar, cm: co._final_opens(pk_merge(pk, ar), net, cm, c))
     timeit("phase open", open_j, arrays, coms)

@@ -20,6 +20,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def run_one(suite: str, n: int, l: int, mode: str):
     import jax
 
@@ -34,13 +40,22 @@ def run_one(suite: str, n: int, l: int, mode: str):
         )
 
         # phased: whole-prover executables exceed the remote-TPU 2 GiB
-        # serialization cap at n >= 12 (same reason as bench.py default)
+        # serialization cap at n >= 12 (same reason as bench.py default).
+        # Parallel AOT precompile bounds per-cell compile at ~max-phase
+        # instead of sum-of-phases — what makes a 10-cell TPU sweep
+        # feasible at all (VERDICT r4 item 4).
+        from scalable_collaborative_zksnark_tpu.hyperplonk.collaborative import (
+            precompile_phases,
+        )
+
         pk = packed_proving_parameters(n, l, net)
+        precompile_phases(n, pk, net)
         step = lambda: dhyperplonk_phased(n, pk, net)
         barrier(step())
-        t0 = time.perf_counter()
-        barrier(step())
-        dt = time.perf_counter() - t0
+        reps = sorted(
+            _timed(lambda: barrier(step())) for _ in range(3)
+        )
+        dt = reps[len(reps) // 2]
     elif suite == "sumcheck":
         from scalable_collaborative_zksnark_tpu.fields.fr import get_field
         from scalable_collaborative_zksnark_tpu.primitives.sumcheck import (
