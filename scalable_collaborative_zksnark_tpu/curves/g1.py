@@ -37,6 +37,14 @@ class PointJ(NamedTuple):
         return self.x.shape[:-1]
 
 
+try:  # let jax.export serialize pytrees containing PointJ (phase cache)
+    jax.export.register_namedtuple_serialization(
+        PointJ, serialized_name="sczk.curves.PointJ"
+    )
+except (AttributeError, ValueError):  # older jax / double registration
+    pass
+
+
 class Curve:
     """y^2 = x^3 + b over a base field (a = 0), with device-batched ops."""
 

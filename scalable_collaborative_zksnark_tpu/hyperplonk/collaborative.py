@@ -783,7 +783,7 @@ def precompile_phases(n: int, pk: PackedProvingParameters, net: PartyNet,
     ]
     tag = None
     if cdir is not None:
-        tag = f"{_source_fingerprint()}_n{n}_l{l_ := pk.pp.l}_{net.mode}_c{c}"
+        tag = f"{_source_fingerprint()}_n{n}_l{pk.pp.l}_{net.mode}_c{c}"
         paths = {nm: cdir / f"{tag}_{nm}.jaxexp" for nm in names}
         if all(p.exists() for p in paths.values()):
             t0 = _time.time()
@@ -896,8 +896,11 @@ def precompile_phases(n: int, pk: PackedProvingParameters, net: PartyNet,
                      "rounds": net.rounds - snap[2]}
                 )
             )
-        except Exception:  # cache is best-effort
-            pass
+        except Exception as e:  # cache is best-effort, but say why
+            print(
+                f"#   phase artifacts: write failed: {type(e).__name__}: {e}",
+                file=sys.stderr,
+            )
 
     compiled = _compile_exported(exported, workers)
     pk._phase_compiled = compiled
